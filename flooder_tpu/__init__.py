@@ -1,0 +1,51 @@
+"""flooder_tpu — a TPU-native Flood complex library.
+
+A from-scratch JAX/XLA/Pallas re-design of the Flood complex pipeline
+(reference: plus-rkwitt/flooder, ``flooder/__init__.py:1-20``): construct a
+lightweight filtered simplicial complex over a Euclidean point cloud and
+compute its persistent homology, at millions-of-points scale, on TPU.
+
+Public API (mirrors the reference surface):
+    - flood_complex(points, landmarks, ...)
+    - generate_landmarks(points, n_lms, ...)
+    - save_to_disk(obj, path, ...)
+    - generate_swiss_cheese_points / generate_annulus_points_2d /
+      generate_noisy_torus_points_3d / generate_figure_eight_points_2d
+
+Beyond the reference, the topology layer the reference delegated to gudhi
+(C++/CGAL) ships here natively: ``flooder_tpu.topology`` provides
+SimplexTree, DelaunayComplex, AlphaComplex, persistence (native C++
+reduction) and bottleneck_distance.
+"""
+
+from jax import config as _jax_config
+
+# float64 support is part of the reference API surface (core.py:118-123,
+# tests/test_flooder.py:214-246); JAX needs x64 enabled at startup for it.
+_jax_config.update("jax_enable_x64", True)
+
+from .io import save_to_disk
+from .core import (
+    flood_complex,
+    generate_landmarks,
+    generate_grid,
+    generate_uniform_weights,
+)
+from .synthetic_data_generators import (
+    generate_swiss_cheese_points,
+    generate_annulus_points_2d,
+    generate_noisy_torus_points_3d,
+    generate_figure_eight_points_2d,
+)
+
+__version__ = "1.0"
+
+__all__ = [
+    "flood_complex",
+    "generate_landmarks",
+    "save_to_disk",
+    "generate_swiss_cheese_points",
+    "generate_annulus_points_2d",
+    "generate_noisy_torus_points_3d",
+    "generate_figure_eight_points_2d",
+]

@@ -1,0 +1,436 @@
+"""Flood complex construction — TPU-native orchestration.
+
+Rebuild of the reference pipeline (reference core.py:32-288) on the
+host/device split that fits XLA (SURVEY §7): the host owns combinatorics
+(Delaunay over ~1k landmarks, columnar SimplexTree assembly); the device
+owns dense geometry (FPS, bounding balls, sample matmuls, masked
+min-distance reductions) under ``jit`` with static shapes.
+
+Differences from the reference worth knowing (behavior-preserving):
+
+- The per-batch host loop (reference core.py:193-248) is replaced by a
+  single scanned device dispatch per dimension pass; witness windows are
+  computed vectorized on device.
+- Landmark selection is exact greedy FPS on device (see ops/fps.py) instead
+  of the Rust bucket-FPS approximation; ``fps_h`` is accepted for API
+  compatibility and ignored.
+- Filtration extraction produces columnar arrays that are bulk-assigned
+  into the native SimplexTree — no per-simplex Python dict updates.
+- ``use_pallas`` replaces ``use_triton`` (which remains as an alias): the
+  fused Pallas TPU kernel is used by default on TPU; the dense XLA path is
+  the portable fallback (and the float64 path).
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+import warnings
+from functools import lru_cache
+from numbers import Integral
+from typing import List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.flood import (
+    WITNESS_PAD,
+    batch_windows,
+    flood_min_distances,
+    simplex_bounding_balls,
+)
+from .ops.fps import farthest_point_sampling
+from .topology import DelaunayComplex, SimplexTree
+from .utils.device import as_jax_array, platform_of
+
+SUPPORTED_DTYPES = (jnp.float32, jnp.float64)
+
+# Default witness chunk length for the scanned min-reduction (the analogue
+# of the reference's hardwired BLOCK_* tile sizes, core.py:26-29, but
+# picked for VMEM/VPU lane geometry instead of CUDA SMs). ``None`` selects
+# a chunk adapted to the cloud size: small clouds get small chunks so tiny
+# per-batch windows don't drag in thousands of padded witnesses.
+WCHUNK = None
+
+
+def _auto_wchunk(n_points: int) -> int:
+    c = 256
+    while c < 4096 and c * 64 < n_points:
+        c *= 2
+    return c
+
+
+# ---------------------------------------------------------------------------
+# sampling weights
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=32)
+def _grid_host(n: int, dim: int):
+    """Barycentric grid on the unit ``dim``-simplex with ``n`` points per
+    edge, plus per-face grid-row and vertex indices.
+
+    Stars-and-bars enumeration identical to the reference
+    (core.py:369-399): C(n+dim-1, dim) points; for every vertex-subset face
+    the rows lying on it, enabling one top-dimension distance pass to yield
+    filtration values for all faces.
+    """
+    combs = np.asarray(
+        list(itertools.combinations(range(n + dim - 1), dim)), dtype=np.int64
+    ).reshape(-1, dim)
+    c = combs.shape[0]
+    padded = np.concatenate(
+        [
+            np.full((c, 1), -1, dtype=np.int64),
+            combs,
+            np.full((c, 1), n + dim - 1, dtype=np.int64),
+        ],
+        axis=1,
+    )
+    grid = np.diff(padded, axis=1) - 1  # (C, dim + 1) integer weights
+
+    face_idxs: List[np.ndarray] = []
+    vertex_idxs: List[np.ndarray] = []
+    all_axes = np.arange(dim + 1)
+    for k in range(dim + 1):
+        fk, vk = [], []
+        for comb in itertools.combinations(range(dim + 1), k):
+            comb_arr = np.asarray(comb, dtype=np.int64)
+            if len(comb) == 0:
+                mask = np.ones(len(grid), dtype=bool)
+            else:
+                mask = (grid[:, comb_arr] == 0).all(axis=1)
+            fk.append(np.flatnonzero(mask))
+            vk.append(all_axes[~np.isin(all_axes, comb_arr)])
+        face_idxs.append(np.stack(fk))
+        vertex_idxs.append(np.stack(vk))
+
+    grid_f = grid.astype(np.float64) / (n - 1)
+    return grid_f, vertex_idxs, face_idxs
+
+
+def generate_grid(
+    n: int, dim: int, device=None, dtype=jnp.float32
+) -> Tuple[jax.Array, List[jax.Array], List[jax.Array]]:
+    """Generate a grid of points on the unit simplex.
+
+    Mirrors the reference ``generate_grid`` (core.py:346-402).
+
+    Args:
+        n: Number of points per edge.
+        dim: Dimension of the simplex.
+        device: JAX device for the weight tensor.
+        dtype: dtype of the weight tensor.
+
+    Returns:
+        (grid (C, dim+1) weights, vertex_idxs per face-codim, face_idxs per
+        face-codim).
+    """
+    grid, vertex_idxs, face_idxs = _grid_host(n, dim)
+    arr = as_jax_array(grid, dtype=dtype, device=device)
+    return (
+        arr,
+        [jnp.asarray(v) for v in vertex_idxs],
+        [jnp.asarray(f) for f in face_idxs],
+    )
+
+
+def generate_uniform_weights(num_rand, dim, device=None, dtype=jnp.float32):
+    """Generate ``num_rand`` uniform points on the unit ``dim``-simplex.
+
+    Normalized exponentials ``−log(1−U)`` drawn from the **host** numpy
+    global RNG — matching the reference's deliberate CPU-RNG-then-move
+    semantics for cross-backend determinism (core.py:405-427): seeding
+    ``np.random.seed(s)`` reproduces the weights on every backend.
+    """
+    if dim == 0:
+        w = np.ones((num_rand, 1))
+    else:
+        u = np.random.rand(num_rand, dim + 1)
+        w = -np.log(1.0 - u)
+        w = w / w.sum(axis=1, keepdims=True)
+    return as_jax_array(w, dtype=dtype, device=device)
+
+
+# ---------------------------------------------------------------------------
+# landmarks
+# ---------------------------------------------------------------------------
+
+
+def generate_landmarks(
+    points,
+    n_lms: int,
+    fps_h: Union[None, int] = None,
+    start_idx: Union[int, None] = None,
+) -> jax.Array:
+    """Select landmarks by farthest-point sampling, on device.
+
+    API-compatible with the reference (core.py:291-343) which wraps the
+    Rust ``fpsample`` bucket-FPS on CPU. Here FPS is the exact greedy
+    algorithm as a jitted JAX loop, so the cloud never leaves the device.
+    ``fps_h`` (the bucket-kd-tree height of the approximate variant) is
+    accepted and ignored.
+
+    Args:
+        points: (P, d) point cloud (jax/numpy array).
+        n_lms: number of landmarks (clamped to P; must be > 0).
+        fps_h: ignored (kept for API compatibility).
+        start_idx: index of the first landmark; None picks one at random
+            (host numpy RNG).
+
+    Returns:
+        (n_lms, d) jax.Array with the same dtype/device as ``points``.
+    """
+    if n_lms <= 0:
+        raise RuntimeError(f"Number of landmarks ({n_lms}) must be positive")
+    pts = as_jax_array(points)
+    n_pts = pts.shape[0]
+    n_lms = min(n_lms, n_pts)
+    del fps_h
+    if start_idx is None:
+        start_idx = int(np.random.randint(n_pts))
+    idx = farthest_point_sampling(pts, n_lms, start_idx)
+    return pts[idx]
+
+
+# ---------------------------------------------------------------------------
+# flood complex
+# ---------------------------------------------------------------------------
+
+
+def _pad_rows(arr: np.ndarray, total: int) -> np.ndarray:
+    """Pad axis 0 to ``total`` rows by repeating the last row."""
+    if arr.shape[0] == total:
+        return arr
+    reps = np.repeat(arr[-1:], total - arr.shape[0], axis=0)
+    return np.concatenate([arr, reps], axis=0)
+
+
+def _pad_rows_jnp(arr: jax.Array, total: int) -> jax.Array:
+    if arr.shape[0] == total:
+        return arr
+    reps = jnp.repeat(arr[-1:], total - arr.shape[0], axis=0)
+    return jnp.concatenate([arr, reps], axis=0)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _nb_bucket(nb: int) -> int:
+    """Round batch counts up to a power of two to bound retracing."""
+    return 1 << max(0, math.ceil(math.log2(max(nb, 1))))
+
+
+@lru_cache(maxsize=64)
+def _face_max_fn(points_per_edge: int, dim: int, codim: int):
+    """Jitted per-face max over the grid rows of each face (cached so the
+    face index table is baked into the program as a constant)."""
+    _, _, face_idxs = _grid_host(points_per_edge, dim)
+    face_idx = np.asarray(face_idxs[codim], dtype=np.int32)
+
+    @jax.jit
+    def fn(dists):
+        gathered = jnp.take(dists, jnp.asarray(face_idx), axis=2)
+        return jnp.max(gathered, axis=-1)
+
+    return fn
+
+
+def flood_complex(
+    points,
+    landmarks: Union[int, jax.Array],
+    max_dimension: Union[None, int] = None,
+    points_per_edge: Union[None, int] = 30,
+    num_rand: int = None,
+    batch_size: Union[None, int] = 64,
+    use_pallas: Optional[bool] = None,
+    return_simplex_tree: bool = False,
+    fps_h: Union[None, int] = None,
+    start_idx: Union[int, None] = 0,
+    use_triton: Optional[bool] = None,
+    wchunk: Optional[int] = WCHUNK,
+) -> Union[dict, SimplexTree]:
+    """Construct a Flood complex from witness points and landmarks.
+
+    Behavior-compatible rebuild of the reference entry point (core.py:32-288)
+    on JAX: given N witness points and L landmarks, build the Delaunay
+    triangulation of the landmarks and assign each simplex the covering
+    radius ``max over sample points s of (min over witnesses w of |s − w|)``
+    estimated from a barycentric grid (or random samples) on each simplex.
+
+    Args:
+        points: (N, d) witness points (jax/numpy array, float32/float64).
+        landmarks: landmark count (FPS-sampled from ``points``) or explicit
+            (L, d) landmark coordinates.
+        max_dimension: top simplex dimension (default: ambient dimension).
+        points_per_edge: grid resolution per edge (grid mode, default 30).
+        num_rand: if set, use this many random sample points per simplex
+            instead of the grid.
+        batch_size: simplices per device batch.
+        use_pallas: force (True) or forbid (False) the fused Pallas TPU
+            kernel; None selects it automatically on TPU.
+        return_simplex_tree: return a SimplexTree instead of a dict.
+        fps_h: accepted for API compatibility (see generate_landmarks).
+        start_idx: FPS start index (None = random).
+        use_triton: deprecated alias for ``use_pallas`` (reference API).
+        wchunk: witness chunk length for the device reduction.
+
+    Returns:
+        dict mapping simplex tuples to filtration values, or a SimplexTree.
+    """
+    if use_triton is not None and use_pallas is None:
+        use_pallas = use_triton
+
+    points = as_jax_array(points)
+    if points.dtype not in SUPPORTED_DTYPES:
+        raise TypeError(f"dtype ({points.dtype}) not supported")
+    if points.dtype == jnp.float64:
+        warnings.warn(
+            "Using float64 on accelerator backends might be slow",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    if max_dimension is None:
+        max_dimension = points.shape[1]
+    if isinstance(landmarks, Integral):
+        landmarks = generate_landmarks(
+            points, min(int(landmarks), points.shape[0]), fps_h, start_idx=start_idx
+        )
+    else:
+        landmarks = as_jax_array(landmarks)
+    if platform_of(landmarks) != platform_of(points):
+        raise RuntimeError(
+            f"landmarks.device ({platform_of(landmarks)}) != "
+            f"points.device ({platform_of(points)})"
+        )
+    if landmarks.dtype != points.dtype:
+        raise RuntimeError(
+            f"landmarks.dtype ({landmarks.dtype}) != points.dtype ({points.dtype})"
+        )
+
+    platform = platform_of(points)
+    dtype = points.dtype
+    if use_pallas is None:
+        use_pallas = platform == "tpu" and dtype == jnp.float32
+
+    # Host combinatorics: Delaunay triangulation of the landmarks.
+    lms_host = np.asarray(landmarks, dtype=np.float64)
+    stree = DelaunayComplex(lms_host).create_simplex_tree()
+    levels = stree._verts  # columnar access within the package
+
+    # Sort witnesses along the widest axis (reference core.py:140-144).
+    n_pts = points.shape[0]
+    if wchunk is None:
+        wchunk = _auto_wchunk(n_pts)
+    mrd = int(
+        jnp.argmax(jnp.max(points, axis=0) - jnp.min(points, axis=0))
+    )
+    points_sorted = points[jnp.argsort(points[:, mrd])]
+    w_total = _round_up(max(n_pts, wchunk), wchunk)
+    if w_total != n_pts:
+        pad = jnp.full((w_total - n_pts, points.shape[1]), WITNESS_PAD, dtype=dtype)
+        witnesses = jnp.concatenate([points_sorted, pad], axis=0)
+    else:
+        witnesses = points_sorted
+    witness_axis = witnesses[:, mrd]
+
+    if use_pallas:
+        from .ops.pallas_flood import pallas_flood_min_distances as _engine
+    else:
+        _engine = None
+
+    for d in range(max_dimension + 1):
+        # Grid mode derives face filtrations from top-dimension simplices
+        # (reference core.py:149-150).
+        if num_rand is None and d < max_dimension:
+            continue
+        if d >= len(levels):
+            continue
+        d_simplices = levels[d]
+        num_simplices = d_simplices.shape[0]
+        if num_simplices == 0:
+            continue
+
+        sim_verts = landmarks[jnp.asarray(d_simplices)]  # (S, d+1, dim)
+        centers, radii = simplex_bounding_balls(sim_verts)
+
+        # Sort simplices along the sorted axis for window coherence
+        # (reference core.py:175-179).
+        order = jnp.argsort(centers[:, mrd])
+        order_host = np.asarray(order)
+        sim_verts = sim_verts[order]
+        centers = centers[order]
+        radii = radii[order]
+        simplices_sorted = d_simplices[order_host]
+
+        # Sample-point weights.
+        if num_rand is None:
+            grid_np, vertex_idxs, face_idxs = _grid_host(
+                points_per_edge, max_dimension
+            )
+            weights = jnp.asarray(grid_np, dtype=dtype)
+        else:
+            weights = generate_uniform_weights(num_rand, d, dtype=dtype)
+
+        # Batch + pad.
+        bsz = num_simplices if batch_size is None else int(batch_size)
+        bsz = max(1, min(bsz, num_simplices))
+        nb = -(-num_simplices // bsz)
+        nb_padded = _nb_bucket(nb)
+        total = nb_padded * bsz
+        sim_verts = _pad_rows_jnp(sim_verts, total).reshape(
+            nb_padded, bsz, d + 1, points.shape[1]
+        )
+        centers = _pad_rows_jnp(centers, total).reshape(nb_padded, bsz, -1)
+        radii = _pad_rows_jnp(radii, total).reshape(nb_padded, bsz)
+
+        imin, imax = batch_windows(
+            centers[..., mrd], radii, witness_axis, wchunk=wchunk
+        )
+        # Empty out the padded batches so they cost nothing.
+        if nb_padded != nb:
+            batch_live = jnp.arange(nb_padded) < nb
+            imax = jnp.where(batch_live, imax, imin)
+
+        if _engine is not None:
+            distances = _engine(
+                sim_verts, weights, centers, radii, witnesses, imin, imax,
+                wchunk=wchunk,
+            )
+        else:
+            distances = flood_min_distances(
+                sim_verts, weights, centers, radii, witnesses, imin, imax,
+                wchunk=wchunk,
+            )
+        # distances: (nb_padded, bsz, R)
+
+        if num_rand is None:
+            # One value per face of every top-dim simplex
+            # (reference core.py:251-268).
+            for codim, vertex_idx in enumerate(vertex_idxs):
+                fn = _face_max_fn(points_per_edge, max_dimension, codim)
+                fvals = fn(distances)  # (nb, B, F)
+                fvals_host = np.asarray(
+                    fvals.reshape(total, -1)[:num_simplices]
+                )
+                faces = simplices_sorted[:, vertex_idx]  # (S, F, dim+1-codim)
+                face_dim = max_dimension - codim
+                stree.assign_filtrations(
+                    face_dim,
+                    faces.reshape(-1, face_dim + 1),
+                    fvals_host.reshape(-1),
+                )
+        else:
+            vals = jnp.max(distances, axis=-1)  # (nb, B)
+            vals_host = np.asarray(vals.reshape(total)[:num_simplices])
+            stree.assign_filtrations(d, simplices_sorted, vals_host)
+
+    stree.make_filtration_non_decreasing()
+
+    if return_simplex_tree:
+        return stree
+    return dict(
+        (tuple(simplex), filtr) for simplex, filtr in stree.get_simplices()
+    )

@@ -1,0 +1,91 @@
+"""Build + load the native (C++) topology kernels.
+
+The reference gets its native compute from pre-built wheels (gudhi/CGAL,
+fpsample — SURVEY §2 L1); flooder_tpu ships the C++ source and compiles it
+on first use with the system toolchain. The shared library is cached next
+to the sources; a failed build degrades gracefully (callers fall back to
+the pure-Python reduction).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sysconfig
+import threading
+from pathlib import Path
+from typing import Optional
+
+_HERE = Path(__file__).resolve().parent
+_SRC = _HERE / "src" / "persistence.cpp"
+_LIB = _HERE / "_flood_native.so"
+
+_lock = threading.Lock()
+_cached: Optional[ctypes.CDLL] = None
+_failed = False
+
+
+def _compile() -> bool:
+    cxx = os.environ.get("CXX", "g++")
+    cmd = [
+        cxx,
+        "-O3",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        "-march=native",
+        str(_SRC),
+        "-o",
+        str(_LIB),
+    ]
+    try:
+        res = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=240
+        )
+    except Exception:
+        return False
+    if res.returncode != 0:
+        # retry without -march=native (portability)
+        cmd.remove("-march=native")
+        try:
+            res = subprocess.run(cmd, capture_output=True, text=True, timeout=240)
+        except Exception:
+            return False
+    return res.returncode == 0 and _LIB.exists()
+
+
+def load_native() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _cached, _failed
+    if _cached is not None:
+        return _cached
+    if _failed:
+        return None
+    with _lock:
+        if _cached is not None:
+            return _cached
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _compile():
+                _failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError:
+            _failed = True
+            return None
+        lib.flood_reduce.restype = ctypes.c_int64
+        lib.flood_reduce.argtypes = [
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _cached = lib
+        return lib
+
+
+_ = sysconfig  # reserved for future extension-module builds

@@ -1,0 +1,172 @@
+"""Dense flood-distance engine (XLA, backend-portable).
+
+This is the TPU-first redesign of the reference's distance backends
+(reference core.py:190-248: Triton mask+filtration kernels, a naive CUDA
+loop, and a scipy-KDTree CPU path). Key idiom changes (SURVEY §7):
+
+- No ``nonzero``/sparse gather: the ball mask is applied **densely** as an
+  ``inf`` select inside a statically-shaped chunked min-reduction, so the
+  whole pipeline stays inside one ``jit``.
+- Squared distances use the MXU-friendly ``|x|² − 2x·y + |y|²`` form in
+  **per-simplex local coordinates** (both sample points and witnesses are
+  shifted by the simplex's bounding-ball center). Witnesses that survive
+  the ball mask satisfy ``|y_local| ≤ 1.42·r``, so the cancellation error
+  of the dot-product form is O(eps·r²) — far below the reference's 1e-4/
+  3e-6 parity tolerances — while the contraction rides the MXU.
+- The reference's per-batch host loop (core.py:193) becomes one
+  ``lax.scan`` over simplex batches with per-batch witness windows realized
+  as clamped dynamic slices: a single device dispatch per dimension pass.
+
+All functions are shape-polymorphic over the ambient dimension and run on
+any JAX backend (CPU float64 included).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# Coordinate value used to pad the witness array: far enough that padded
+# rows always fail every ball test, small enough not to overflow float32
+# when squared.
+WITNESS_PAD = 1.0e15
+
+
+@jax.jit
+def simplex_bounding_balls(simplex_vertices: jax.Array):
+    """Bounding-ball centers and radii of a batch of simplices.
+
+    Mirrors the reference's construction (core.py:155-172): the center is
+    the midpoint of the farthest vertex pair (diameter pair); the radius is
+    the max center-to-vertex distance inflated by 1.42 for dim > 1 (1.01
+    otherwise) plus a 1e-3 slack.
+
+    Args:
+        simplex_vertices: (S, k, d) vertex coordinates (k = dim + 1).
+
+    Returns:
+        (centers (S, d), radii (S,)).
+    """
+    v = simplex_vertices
+    s, k, _ = v.shape
+    diffs = v[:, :, None, :] - v[:, None, :, :]
+    d2 = jnp.sum(diffs * diffs, axis=-1)  # (S, k, k)
+    flat_idx = jnp.argmax(d2.reshape(s, k * k), axis=1)
+    i0, i1 = flat_idx // k, flat_idx % k
+    rows = jnp.arange(s)
+    centers = (v[rows, i0] + v[rows, i1]) / 2.0
+    radial = jnp.linalg.norm(v - centers[:, None, :], axis=-1)
+    factor = 1.42 if (k - 1) > 1 else 1.01
+    radii = jnp.amax(radial, axis=1) * factor + 1e-3
+    return centers, radii
+
+
+def _masked_chunk_min(x_local, x2, r2, bcent, w_chunk, acc, precision):
+    """Fold one witness chunk into the running (B, R) min-d² accumulator."""
+    y_local = w_chunk[None, :, :] - bcent[:, None, :]  # (B, C, d)
+    y2 = jnp.sum(y_local * y_local, axis=-1)  # (B, C): center-to-witness d²
+    mask = y2 <= r2[:, None]
+    xy = jnp.einsum(
+        "brd,bcd->brc", x_local, y_local, precision=precision
+    )
+    d2 = x2[:, :, None] - 2.0 * xy + y2[:, None, :]
+    d2 = jnp.maximum(d2, 0.0)
+    d2 = jnp.where(mask[:, None, :], d2, jnp.inf)
+    return jnp.minimum(acc, jnp.min(d2, axis=-1))
+
+
+@partial(jax.jit, static_argnames=("wchunk",))
+def flood_min_distances(
+    verts: jax.Array,
+    weights: jax.Array,
+    centers: jax.Array,
+    radii: jax.Array,
+    witnesses: jax.Array,
+    imin: jax.Array,
+    imax: jax.Array,
+    wchunk: int = 2048,
+) -> jax.Array:
+    """Min distance from every simplex sample point to the witness cloud.
+
+    For each simplex s and sample point r the result is
+    ``min over witnesses w inside ball(s) of ||sample(s, r) − w||``
+    (+inf where the ball is empty), the quantity the reference computes with
+    its mask/filtration Triton kernels (triton_kernels.py:12-158).
+
+    Args:
+        verts: (nb, B, k, d) batched simplex vertex coordinates.
+        weights: (R, k) barycentric sample weights (grid or random).
+        centers: (nb, B, d) bounding-ball centers.
+        radii: (nb, B) bounding-ball radii.
+        witnesses: (W, d) witness points sorted along the widest axis,
+            padded to a multiple of ``wchunk`` with ``WITNESS_PAD``.
+        imin / imax: (nb,) per-batch window bounds into ``witnesses``
+            (reference core.py:201-208, computed vectorized on device here).
+        wchunk: witness chunk length (static).
+
+    Returns:
+        (nb, B, R) distances.
+    """
+    dtype = witnesses.dtype
+    dim = witnesses.shape[1]
+    r_count = weights.shape[0]
+    precision = jax.lax.Precision.HIGHEST
+
+    def batch_fn(_, xs):
+        bverts, bcent, brad, lo, hi = xs
+        samples = jnp.einsum(
+            "rk,bkd->brd", weights, bverts, precision=precision
+        )
+        x_local = samples - bcent[:, None, :]
+        x2 = jnp.sum(x_local * x_local, axis=-1)
+        r2 = brad * brad
+
+        nchunks = jnp.maximum(0, (hi - lo + wchunk - 1) // wchunk)
+        init = jnp.full((bverts.shape[0], r_count), jnp.inf, dtype=dtype)
+
+        def chunk_body(ci, acc):
+            s = (lo + ci * wchunk).astype(jnp.int32)
+            w = jax.lax.dynamic_slice(
+                witnesses, (s, jnp.int32(0)), (wchunk, dim)
+            )
+            return _masked_chunk_min(x_local, x2, r2, bcent, w, acc, precision)
+
+        acc = jax.lax.fori_loop(0, nchunks, chunk_body, init)
+        return None, jnp.sqrt(acc)
+
+    _, out = jax.lax.scan(batch_fn, None, (verts, centers, radii, imin, imax))
+    return out
+
+
+@partial(jax.jit, static_argnames=("wchunk",))
+def batch_windows(
+    centers_axis: jax.Array,
+    radii: jax.Array,
+    witness_axis: jax.Array,
+    wchunk: int = 2048,
+):
+    """Per-batch witness windows along the sorted axis.
+
+    Vectorized version of the reference's per-batch searchsorted windowing
+    (core.py:201-208): for each simplex batch, the window is the index range
+    of witnesses whose sort-axis coordinate falls within
+    [min(center − r), max(center + r)] over the batch.
+
+    Args:
+        centers_axis: (nb, B) ball-center coordinate along the sorted axis.
+        radii: (nb, B) ball radii.
+        witness_axis: (W,) sorted witness coordinates (padded tail included).
+        wchunk: chunk size; windows are aligned down/up to multiples.
+
+    Returns:
+        (imin (nb,), imax (nb,)) int32 window bounds, ``imin`` aligned to
+        ``wchunk`` so dynamic slices start on chunk boundaries.
+    """
+    vmin = jnp.min(centers_axis - radii, axis=1)
+    vmax = jnp.max(centers_axis + radii, axis=1)
+    imin = jnp.searchsorted(witness_axis, vmin, side="left")
+    imax = jnp.searchsorted(witness_axis, vmax, side="right")
+    imin = (imin // wchunk) * wchunk
+    return imin.astype(jnp.int32), imax.astype(jnp.int32)

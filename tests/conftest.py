@@ -1,0 +1,25 @@
+"""Test configuration: force the CPU backend with 8 virtual devices.
+
+Tests must run without TPU hardware; multi-chip sharding paths are
+exercised on a virtual 8-device CPU mesh. This must happen before jax is
+imported anywhere.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The environment's sitecustomize may force-register an accelerator platform
+# regardless of JAX_PLATFORMS; override it at the config level before any
+# backend is initialized.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
