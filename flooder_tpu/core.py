@@ -55,7 +55,7 @@ WCHUNK = None
 
 
 def _auto_wchunk(n_points: int) -> int:
-    c = 256
+    c = 128
     while c < 4096 and c * 64 < n_points:
         c *= 2
     return c
@@ -223,6 +223,22 @@ def _nb_bucket(nb: int) -> int:
     return 1 << max(0, math.ceil(math.log2(max(nb, 1))))
 
 
+def _min_combine_faces(faces: np.ndarray, vals: np.ndarray):
+    """Combine duplicate face rows by taking the min of their values."""
+    from .topology._keys import row_keys
+
+    faces = np.sort(np.ascontiguousarray(faces, dtype=np.int32), axis=1)
+    keys = row_keys(faces)
+    order = np.argsort(keys, kind="stable")
+    keys_s = keys[order]
+    vals_s = np.asarray(vals, dtype=np.float64)[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], keys_s[1:] != keys_s[:-1]])
+    )
+    mins = np.minimum.reduceat(vals_s, starts)
+    return faces[order[starts]], mins
+
+
 @lru_cache(maxsize=64)
 def _face_max_fn(points_per_edge: int, dim: int, codim: int):
     """Jitted per-face max over the grid rows of each face (cached so the
@@ -251,6 +267,7 @@ def flood_complex(
     start_idx: Union[int, None] = 0,
     use_triton: Optional[bool] = None,
     wchunk: Optional[int] = WCHUNK,
+    _engine_override=None,
 ) -> Union[dict, SimplexTree]:
     """Construct a Flood complex from witness points and landmarks.
 
@@ -336,7 +353,9 @@ def flood_complex(
         witnesses = points_sorted
     witness_axis = witnesses[:, mrd]
 
-    if use_pallas:
+    if _engine_override is not None:
+        _engine = _engine_override
+    elif use_pallas:
         from .ops.pallas_flood import pallas_flood_min_distances as _engine
     else:
         _engine = None
@@ -408,7 +427,13 @@ def flood_complex(
 
         if num_rand is None:
             # One value per face of every top-dim simplex
-            # (reference core.py:251-268).
+            # (reference core.py:251-268). A shared face is computed once
+            # per cofacing top-simplex, each time min-reduced over that
+            # simplex's own bounding ball; the reference keeps the last
+            # writer (iteration-order dependent). Here writers are combined
+            # with **min** — order-independent (deterministic across
+            # dtypes/backends) and the tightest of the ball-restricted
+            # estimates of the true covering radius.
             for codim, vertex_idx in enumerate(vertex_idxs):
                 fn = _face_max_fn(points_per_edge, max_dimension, codim)
                 fvals = fn(distances)  # (nb, B, F)
@@ -417,11 +442,10 @@ def flood_complex(
                 )
                 faces = simplices_sorted[:, vertex_idx]  # (S, F, dim+1-codim)
                 face_dim = max_dimension - codim
-                stree.assign_filtrations(
-                    face_dim,
-                    faces.reshape(-1, face_dim + 1),
-                    fvals_host.reshape(-1),
+                uniq_faces, min_vals = _min_combine_faces(
+                    faces.reshape(-1, face_dim + 1), fvals_host.reshape(-1)
                 )
+                stree.assign_filtrations(face_dim, uniq_faces, min_vals)
         else:
             vals = jnp.max(distances, axis=-1)  # (nb, B)
             vals_host = np.asarray(vals.reshape(total)[:num_simplices])

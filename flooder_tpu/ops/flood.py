@@ -64,15 +64,29 @@ def simplex_bounding_balls(simplex_vertices: jax.Array):
 
 
 def _masked_chunk_min(x_local, x2, r2, bcent, w_chunk, acc, precision):
-    """Fold one witness chunk into the running (B, R) min-d² accumulator."""
+    """Fold one witness chunk into the running (B, R) min-d² accumulator.
+
+    Distances use the coordinate-difference form ``Σ_i (x_i − y_i)²`` on
+    ball-local coordinates. Floating-point subtraction is relative-accurate,
+    so the squared-distance error is O(eps·d²) — independent of the
+    cloud/ball scale ratio — matching the reference kernels' accumulation
+    (triton_kernels.py:37-41) and the 3e-6 float32/float64 consistency
+    bound (tests/test_flooder.py:246). The MXU dot-product form
+    (|x|²−2x·y+|y|²) amplifies error by (ball_radius/distance)² and is
+    reserved for pruning passes, not final values.
+    """
+    del x2, precision
     y_local = w_chunk[None, :, :] - bcent[:, None, :]  # (B, C, d)
     y2 = jnp.sum(y_local * y_local, axis=-1)  # (B, C): center-to-witness d²
     mask = y2 <= r2[:, None]
-    xy = jnp.einsum(
-        "brd,bcd->brc", x_local, y_local, precision=precision
+    dim = w_chunk.shape[-1]
+    d2 = jnp.zeros(
+        (x_local.shape[0], x_local.shape[1], w_chunk.shape[0]),
+        dtype=x_local.dtype,
     )
-    d2 = x2[:, :, None] - 2.0 * xy + y2[:, None, :]
-    d2 = jnp.maximum(d2, 0.0)
+    for i in range(dim):
+        diff = x_local[:, :, None, i] - y_local[:, None, :, i]
+        d2 = d2 + diff * diff
     d2 = jnp.where(mask[:, None, :], d2, jnp.inf)
     return jnp.minimum(acc, jnp.min(d2, axis=-1))
 
@@ -116,10 +130,15 @@ def flood_min_distances(
 
     def batch_fn(_, xs):
         bverts, bcent, brad, lo, hi = xs
-        samples = jnp.einsum(
-            "rk,bkd->brd", weights, bverts, precision=precision
+        # Sample points in ball-local coordinates: barycentric weights sum
+        # to 1, so weights @ (verts − center) == samples − center exactly,
+        # but computed at O(ball radius) magnitude instead of O(cloud
+        # diameter) — the f32 rounding of the sample matmul drops by the
+        # cloud-size/ball-size ratio.
+        bverts_local = bverts - bcent[:, None, :]
+        x_local = jnp.einsum(
+            "rk,bkd->brd", weights, bverts_local, precision=precision
         )
-        x_local = samples - bcent[:, None, :]
         x2 = jnp.sum(x_local * x_local, axis=-1)
         r2 = brad * brad
 
