@@ -24,7 +24,6 @@ Differences from the reference worth knowing (behavior-preserving):
 from __future__ import annotations
 
 import itertools
-import math
 import warnings
 from functools import lru_cache
 from numbers import Integral
@@ -34,12 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ops.flood import (
-    WITNESS_PAD,
-    batch_windows,
-    flood_min_distances,
-    simplex_bounding_balls,
-)
+from .ops.flood import DenseFloodEngine, simplex_bounding_balls
 from .ops.fps import farthest_point_sampling
 from .topology import DelaunayComplex, SimplexTree
 from .utils.device import as_jax_array, platform_of
@@ -199,30 +193,6 @@ def generate_landmarks(
 # ---------------------------------------------------------------------------
 
 
-def _pad_rows(arr: np.ndarray, total: int) -> np.ndarray:
-    """Pad axis 0 to ``total`` rows by repeating the last row."""
-    if arr.shape[0] == total:
-        return arr
-    reps = np.repeat(arr[-1:], total - arr.shape[0], axis=0)
-    return np.concatenate([arr, reps], axis=0)
-
-
-def _pad_rows_jnp(arr: jax.Array, total: int) -> jax.Array:
-    if arr.shape[0] == total:
-        return arr
-    reps = jnp.repeat(arr[-1:], total - arr.shape[0], axis=0)
-    return jnp.concatenate([arr, reps], axis=0)
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def _nb_bucket(nb: int) -> int:
-    """Round batch counts up to a power of two to bound retracing."""
-    return 1 << max(0, math.ceil(math.log2(max(nb, 1))))
-
-
 def _min_combine_faces(faces: np.ndarray, vals: np.ndarray):
     """Combine duplicate face rows by taking the min of their values."""
     from .topology._keys import row_keys
@@ -248,7 +218,7 @@ def _face_max_fn(points_per_edge: int, dim: int, codim: int):
 
     @jax.jit
     def fn(dists):
-        gathered = jnp.take(dists, jnp.asarray(face_idx), axis=2)
+        gathered = jnp.take(dists, jnp.asarray(face_idx), axis=1)
         return jnp.max(gathered, axis=-1)
 
     return fn
@@ -337,28 +307,18 @@ def flood_complex(
     stree = DelaunayComplex(lms_host).create_simplex_tree()
     levels = stree._verts  # columnar access within the package
 
-    # Sort witnesses along the widest axis (reference core.py:140-144).
     n_pts = points.shape[0]
     if wchunk is None:
         wchunk = _auto_wchunk(n_pts)
-    mrd = int(
-        jnp.argmax(jnp.max(points, axis=0) - jnp.min(points, axis=0))
-    )
-    points_sorted = points[jnp.argsort(points[:, mrd])]
-    w_total = _round_up(max(n_pts, wchunk), wchunk)
-    if w_total != n_pts:
-        pad = jnp.full((w_total - n_pts, points.shape[1]), WITNESS_PAD, dtype=dtype)
-        witnesses = jnp.concatenate([points_sorted, pad], axis=0)
-    else:
-        witnesses = points_sorted
-    witness_axis = witnesses[:, mrd]
 
     if _engine_override is not None:
-        _engine = _engine_override
+        engine = _engine_override(points, wchunk)
     elif use_pallas:
-        from .ops.pallas_flood import pallas_flood_min_distances as _engine
+        from .ops.pallas_flood import PallasFloodEngine
+
+        engine = PallasFloodEngine(points, wchunk)
     else:
-        _engine = None
+        engine = DenseFloodEngine(points, wchunk)
 
     for d in range(max_dimension + 1):
         # Grid mode derives face filtrations from top-dimension simplices
@@ -375,9 +335,9 @@ def flood_complex(
         sim_verts = landmarks[jnp.asarray(d_simplices)]  # (S, d+1, dim)
         centers, radii = simplex_bounding_balls(sim_verts)
 
-        # Sort simplices along the sorted axis for window coherence
-        # (reference core.py:175-179).
-        order = jnp.argsort(centers[:, mrd])
+        # Sort simplices for spatial coherence (reference core.py:175-179;
+        # the engine chooses the order: sort-axis or Morton).
+        order = engine.order(centers)
         order_host = np.asarray(order)
         sim_verts = sim_verts[order]
         centers = centers[order]
@@ -393,37 +353,10 @@ def flood_complex(
         else:
             weights = generate_uniform_weights(num_rand, d, dtype=dtype)
 
-        # Batch + pad.
         bsz = num_simplices if batch_size is None else int(batch_size)
-        bsz = max(1, min(bsz, num_simplices))
-        nb = -(-num_simplices // bsz)
-        nb_padded = _nb_bucket(nb)
-        total = nb_padded * bsz
-        sim_verts = _pad_rows_jnp(sim_verts, total).reshape(
-            nb_padded, bsz, d + 1, points.shape[1]
-        )
-        centers = _pad_rows_jnp(centers, total).reshape(nb_padded, bsz, -1)
-        radii = _pad_rows_jnp(radii, total).reshape(nb_padded, bsz)
-
-        imin, imax = batch_windows(
-            centers[..., mrd], radii, witness_axis, wchunk=wchunk
-        )
-        # Empty out the padded batches so they cost nothing.
-        if nb_padded != nb:
-            batch_live = jnp.arange(nb_padded) < nb
-            imax = jnp.where(batch_live, imax, imin)
-
-        if _engine is not None:
-            distances = _engine(
-                sim_verts, weights, centers, radii, witnesses, imin, imax,
-                wchunk=wchunk,
-            )
-        else:
-            distances = flood_min_distances(
-                sim_verts, weights, centers, radii, witnesses, imin, imax,
-                wchunk=wchunk,
-            )
-        # distances: (nb_padded, bsz, R)
+        distances = engine.min_distances(
+            sim_verts, weights, centers, radii, bsz
+        )  # (S, R)
 
         if num_rand is None:
             # One value per face of every top-dim simplex
@@ -436,10 +369,7 @@ def flood_complex(
             # estimates of the true covering radius.
             for codim, vertex_idx in enumerate(vertex_idxs):
                 fn = _face_max_fn(points_per_edge, max_dimension, codim)
-                fvals = fn(distances)  # (nb, B, F)
-                fvals_host = np.asarray(
-                    fvals.reshape(total, -1)[:num_simplices]
-                )
+                fvals_host = np.asarray(fn(distances))  # (S, F)
                 faces = simplices_sorted[:, vertex_idx]  # (S, F, dim+1-codim)
                 face_dim = max_dimension - codim
                 uniq_faces, min_vals = _min_combine_faces(
@@ -447,8 +377,7 @@ def flood_complex(
                 )
                 stree.assign_filtrations(face_dim, uniq_faces, min_vals)
         else:
-            vals = jnp.max(distances, axis=-1)  # (nb, B)
-            vals_host = np.asarray(vals.reshape(total)[:num_simplices])
+            vals_host = np.asarray(jnp.max(distances, axis=-1))  # (S,)
             stree.assign_filtrations(d, simplices_sorted, vals_host)
 
     stree.make_filtration_non_decreasing()

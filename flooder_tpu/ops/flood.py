@@ -4,21 +4,23 @@ This is the TPU-first redesign of the reference's distance backends
 (reference core.py:190-248: Triton mask+filtration kernels, a naive CUDA
 loop, and a scipy-KDTree CPU path). Key idiom changes (SURVEY §7):
 
-- No ``nonzero``/sparse gather: the ball mask is applied **densely** as an
-  ``inf`` select inside a statically-shaped chunked min-reduction, so the
-  whole pipeline stays inside one ``jit``.
-- Squared distances use the MXU-friendly ``|x|² − 2x·y + |y|²`` form in
-  **per-simplex local coordinates** (both sample points and witnesses are
-  shifted by the simplex's bounding-ball center). Witnesses that survive
-  the ball mask satisfy ``|y_local| ≤ 1.42·r``, so the cancellation error
-  of the dot-product form is O(eps·r²) — far below the reference's 1e-4/
-  3e-6 parity tolerances — while the contraction rides the MXU.
+- No ``nonzero``/sparse gather: the ball mask is applied **densely** as a
+  select inside a statically-shaped chunked min-reduction, so the whole
+  pipeline stays inside one ``jit``.
+- Squared distances accumulate coordinate differences in ball-local
+  coordinates: floating-point subtraction is relative-accurate, so the
+  error is O(eps·d²) at any cloud/ball scale ratio — matching the
+  reference kernels' accumulation (triton_kernels.py:37-41) and its 3e-6
+  float32/float64 consistency bound.
 - The reference's per-batch host loop (core.py:193) becomes one
   ``lax.scan`` over simplex batches with per-batch witness windows realized
   as clamped dynamic slices: a single device dispatch per dimension pass.
 
-All functions are shape-polymorphic over the ambient dimension and run on
-any JAX backend (CPU float64 included).
+Engines expose a two-phase interface consumed by ``core.flood_complex``:
+``prepare(points)`` once per call (witness ordering, padding), then
+``order(centers)`` + ``min_distances(...)`` per dimension pass. The Pallas
+TPU engine (ops/pallas_flood.py) implements the same interface with
+Morton-ordered witnesses and an active-pair work-list.
 """
 
 from __future__ import annotations
@@ -63,19 +65,26 @@ def simplex_bounding_balls(simplex_vertices: jax.Array):
     return centers, radii
 
 
-def _masked_chunk_min(x_local, x2, r2, bcent, w_chunk, acc, precision):
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pad_rows(arr: jax.Array, total: int) -> jax.Array:
+    if arr.shape[0] == total:
+        return arr
+    reps = jnp.repeat(arr[-1:], total - arr.shape[0], axis=0)
+    return jnp.concatenate([arr, reps], axis=0)
+
+
+def _masked_chunk_min(x_local, r2, bcent, w_chunk, acc):
     """Fold one witness chunk into the running (B, R) min-d² accumulator.
 
     Distances use the coordinate-difference form ``Σ_i (x_i − y_i)²`` on
-    ball-local coordinates. Floating-point subtraction is relative-accurate,
-    so the squared-distance error is O(eps·d²) — independent of the
-    cloud/ball scale ratio — matching the reference kernels' accumulation
-    (triton_kernels.py:37-41) and the 3e-6 float32/float64 consistency
-    bound (tests/test_flooder.py:246). The MXU dot-product form
-    (|x|²−2x·y+|y|²) amplifies error by (ball_radius/distance)² and is
-    reserved for pruning passes, not final values.
+    ball-local coordinates — relative-accurate independent of the
+    cloud/ball scale ratio. The MXU dot-product form (|x|²−2x·y+|y|²)
+    amplifies error by (ball_radius/distance)² and is reserved for pruning
+    passes, not final values.
     """
-    del x2, precision
     y_local = w_chunk[None, :, :] - bcent[:, None, :]  # (B, C, d)
     y2 = jnp.sum(y_local * y_local, axis=-1)  # (B, C): center-to-witness d²
     mask = y2 <= r2[:, None]
@@ -126,20 +135,20 @@ def flood_min_distances(
     dtype = witnesses.dtype
     dim = witnesses.shape[1]
     r_count = weights.shape[0]
-    precision = jax.lax.Precision.HIGHEST
 
     def batch_fn(_, xs):
         bverts, bcent, brad, lo, hi = xs
         # Sample points in ball-local coordinates: barycentric weights sum
         # to 1, so weights @ (verts − center) == samples − center exactly,
         # but computed at O(ball radius) magnitude instead of O(cloud
-        # diameter) — the f32 rounding of the sample matmul drops by the
-        # cloud-size/ball-size ratio.
+        # diameter).
         bverts_local = bverts - bcent[:, None, :]
         x_local = jnp.einsum(
-            "rk,bkd->brd", weights, bverts_local, precision=precision
+            "rk,bkd->brd",
+            weights,
+            bverts_local,
+            precision=jax.lax.Precision.HIGHEST,
         )
-        x2 = jnp.sum(x_local * x_local, axis=-1)
         r2 = brad * brad
 
         nchunks = jnp.maximum(0, (hi - lo + wchunk - 1) // wchunk)
@@ -150,7 +159,7 @@ def flood_min_distances(
             w = jax.lax.dynamic_slice(
                 witnesses, (s, jnp.int32(0)), (wchunk, dim)
             )
-            return _masked_chunk_min(x_local, x2, r2, bcent, w, acc, precision)
+            return _masked_chunk_min(x_local, r2, bcent, w, acc)
 
         acc = jax.lax.fori_loop(0, nchunks, chunk_body, init)
         return None, jnp.sqrt(acc)
@@ -172,16 +181,6 @@ def batch_windows(
     (core.py:201-208): for each simplex batch, the window is the index range
     of witnesses whose sort-axis coordinate falls within
     [min(center − r), max(center + r)] over the batch.
-
-    Args:
-        centers_axis: (nb, B) ball-center coordinate along the sorted axis.
-        radii: (nb, B) ball radii.
-        witness_axis: (W,) sorted witness coordinates (padded tail included).
-        wchunk: chunk size; windows are aligned down/up to multiples.
-
-    Returns:
-        (imin (nb,), imax (nb,)) int32 window bounds, ``imin`` aligned to
-        ``wchunk`` so dynamic slices start on chunk boundaries.
     """
     vmin = jnp.min(centers_axis - radii, axis=1)
     vmax = jnp.max(centers_axis + radii, axis=1)
@@ -189,3 +188,67 @@ def batch_windows(
     imax = jnp.searchsorted(witness_axis, vmax, side="right")
     imin = (imin // wchunk) * wchunk
     return imin.astype(jnp.int32), imax.astype(jnp.int32)
+
+
+class DenseFloodEngine:
+    """Backend-portable engine: axis-sorted witnesses + scanned batches."""
+
+    def __init__(self, points: jax.Array, wchunk: int):
+        self.wchunk = wchunk
+        self.dtype = points.dtype
+        n_pts, dim = points.shape
+        # Widest axis (reference core.py:140-144); one tiny host sync.
+        self.mrd = int(
+            jnp.argmax(jnp.max(points, axis=0) - jnp.min(points, axis=0))
+        )
+        pts_sorted = points[jnp.argsort(points[:, self.mrd])]
+        total = _round_up(max(n_pts, wchunk), wchunk)
+        if total != n_pts:
+            pad = jnp.full((total - n_pts, dim), WITNESS_PAD, dtype=points.dtype)
+            pts_sorted = jnp.concatenate([pts_sorted, pad], axis=0)
+        self.witnesses = pts_sorted
+        self.witness_axis = pts_sorted[:, self.mrd]
+
+    def order(self, centers: jax.Array) -> jax.Array:
+        """Processing order for simplices (spatial coherence of windows)."""
+        return jnp.argsort(centers[:, self.mrd])
+
+    def min_distances(
+        self,
+        verts: jax.Array,
+        weights: jax.Array,
+        centers: jax.Array,
+        radii: jax.Array,
+        batch_size: int,
+    ) -> jax.Array:
+        """(S, R) min distances; S rows ordered as the inputs."""
+        num_simplices = verts.shape[0]
+        bsz = max(1, min(int(batch_size), num_simplices))
+        # Cap the (B, R, C) distance intermediate at ~256 MB so a large
+        # user batch size cannot OOM accelerator memory.
+        r_count = weights.shape[0]
+        elem = jnp.dtype(self.dtype).itemsize
+        max_b = max(1, (256 << 20) // max(1, r_count * self.wchunk * elem))
+        bsz = min(bsz, max_b)
+        nb = -(-num_simplices // bsz)
+        # Round the batch count up to a power of two to bound retracing.
+        nb_padded = 1 if nb == 1 else 1 << (nb - 1).bit_length()
+        total = nb_padded * bsz
+
+        dim = verts.shape[-1]
+        verts_b = _pad_rows(verts, total).reshape(nb_padded, bsz, -1, dim)
+        centers_b = _pad_rows(centers, total).reshape(nb_padded, bsz, dim)
+        radii_b = _pad_rows(radii, total).reshape(nb_padded, bsz)
+
+        imin, imax = batch_windows(
+            centers_b[..., self.mrd], radii_b, self.witness_axis, self.wchunk
+        )
+        if nb_padded != nb:
+            live = jnp.arange(nb_padded) < nb
+            imax = jnp.where(live, imax, imin)
+
+        out = flood_min_distances(
+            verts_b, weights, centers_b, radii_b,
+            self.witnesses, imin, imax, wchunk=self.wchunk,
+        )
+        return out.reshape(total, -1)[:num_simplices]

@@ -87,34 +87,41 @@ def test_vs_alpha_full(use_rand):
         assert dist < 5e-4
 
 
-def _brute_engine(verts, weights, centers, radii, witnesses, imin, imax, wchunk):
+class _BruteEngine:
     """Brute-force float64 numpy engine: ignores windows/chunks entirely and
     reduces over every witness, with the reference's ball-mask semantics.
 
-    Engine-level oracle for flood_min_distances (the analog of the
+    Engine-level oracle for the device engines (the analog of the
     reference's naive CUDA loop, core.py:228-246).
     """
-    import jax.numpy as jnp
 
-    v = np.asarray(verts, dtype=np.float64)
-    w = np.asarray(weights, dtype=np.float64)
-    c = np.asarray(centers, dtype=np.float64)
-    r = np.asarray(radii, dtype=np.float64)
-    wit = np.asarray(witnesses, dtype=np.float64)
-    wit = wit[(np.abs(wit) < 1e14).all(axis=1)]  # drop padding rows
-    nb, B, k, dim = v.shape
-    R = w.shape[0]
-    out = np.full((nb, B, R), np.inf)
-    for b in range(nb):
-        for i in range(B):
-            samples = w @ v[b, i]  # (R, dim)
-            m = ((wit - c[b, i]) ** 2).sum(1) <= r[b, i] ** 2
+    def __init__(self, points, wchunk):
+        self.wit = np.asarray(points, dtype=np.float64)
+
+    def order(self, centers):
+        import jax.numpy as jnp
+
+        return jnp.argsort(centers[:, 0])
+
+    def min_distances(self, verts, weights, centers, radii, batch_size):
+        import jax.numpy as jnp
+
+        v = np.asarray(verts, dtype=np.float64)
+        w = np.asarray(weights, dtype=np.float64)
+        c = np.asarray(centers, dtype=np.float64)
+        r = np.asarray(radii, dtype=np.float64)
+        S, k, dim = v.shape
+        R = w.shape[0]
+        out = np.full((S, R), np.inf)
+        for i in range(S):
+            samples = w @ v[i]  # (R, dim)
+            m = ((self.wit - c[i]) ** 2).sum(1) <= r[i] ** 2
             if m.any():
                 d = np.sqrt(
-                    ((samples[:, None, :] - wit[m][None, :, :]) ** 2).sum(-1)
+                    ((samples[:, None, :] - self.wit[m][None, :, :]) ** 2).sum(-1)
                 )
-                out[b, i] = d.min(1)
-    return jnp.asarray(out, dtype=jnp.float32)
+                out[i] = d.min(1)
+        return jnp.asarray(out, dtype=jnp.float32)
 
 
 @pytest.mark.parametrize("num_landmarks", [20, 150])
@@ -134,7 +141,7 @@ def test_engine_vs_brute_force(num_landmarks, use_rand):
     np.random.seed(42)
     fc = flood_complex(X, L, batch_size=32, **kwargs)
     np.random.seed(42)
-    fc_ref = flood_complex(X, L, batch_size=32, _engine_override=_brute_engine, **kwargs)
+    fc_ref = flood_complex(X, L, batch_size=32, _engine_override=_BruteEngine, **kwargs)
 
     assert set(fc.keys()) == set(fc_ref.keys())
     for simplex, val in fc_ref.items():
