@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Headline benchmark: Flood complex build + persistence (dims 0-2) on a
+1M-point 3-D swiss-cheese cloud with 1k landmarks — the reference's
+published configuration (reference docs/index.md:42-49: 1.4 ± 0.3 s on an
+H100 NVL for Flood build + PH; BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline = value / 1.4 (the H100 reference seconds; < 1.0 means faster
+than the reference GPU).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_SECONDS = 1.4  # reference H100 NVL, docs/index.md:42-49
+
+
+def run(n_points: int, n_landmarks: int, reps: int, warmup: bool = True):
+    import jax
+
+    from flooder_tpu import flood_complex, generate_swiss_cheese_points
+
+    backend = jax.default_backend()
+    pts, _, _ = generate_swiss_cheese_points(
+        n_points, k=6, seed=42, device=backend
+    )
+    pts.block_until_ready()
+
+    if warmup:
+        # compile-warm the pipeline on a small prefix (the reference warms
+        # up the same way, examples/example_01_cheese_3d.py:78-82)
+        st = flood_complex(pts[:100_000], n_landmarks, return_simplex_tree=True)
+        st.compute_persistence()
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        stree = flood_complex(pts, n_landmarks, return_simplex_tree=True)
+        stree.compute_persistence()
+        _ = [stree.persistence_intervals_in_dimension(i) for i in range(3)]
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), times
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=1_000_000)
+    ap.add_argument("--landmarks", type=int, default=1000)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    value, times = run(args.points, args.landmarks, args.reps)
+    print(
+        json.dumps(
+            {
+                "metric": "flood_build_plus_ph_seconds_1m_pts_1k_lms_3d",
+                "value": round(value, 4),
+                "unit": "s",
+                "vs_baseline": round(value / BASELINE_SECONDS, 4),
+            }
+        )
+    )
+    print(
+        f"# all reps: {[round(t, 3) for t in times]} "
+        f"(baseline {BASELINE_SECONDS}s on H100 NVL)",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

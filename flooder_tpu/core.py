@@ -237,6 +237,7 @@ def flood_complex(
     start_idx: Union[int, None] = 0,
     use_triton: Optional[bool] = None,
     wchunk: Optional[int] = WCHUNK,
+    mesh=None,
     _engine_override=None,
 ) -> Union[dict, SimplexTree]:
     """Construct a Flood complex from witness points and landmarks.
@@ -313,6 +314,10 @@ def flood_complex(
 
     if _engine_override is not None:
         engine = _engine_override(points, wchunk)
+    elif mesh is not None:
+        from .parallel.sharding import MeshFloodEngine
+
+        engine = MeshFloodEngine(points, wchunk, mesh)
     elif use_pallas:
         from .ops.pallas_flood import PallasFloodEngine
 

@@ -1,0 +1,54 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+
+from flooder_tpu import (
+    flood_complex,
+    generate_landmarks,
+    generate_noisy_torus_points_3d,
+)
+from flooder_tpu.parallel import make_mesh
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape["simplex"] == 8
+    mesh2 = make_mesh(simplex_parallel=4)
+    assert mesh2.shape["simplex"] == 4 and mesh2.shape["witness"] == 2
+    with pytest.raises(ValueError):
+        make_mesh(simplex_parallel=3)
+
+
+@pytest.mark.parametrize("simplex_parallel", [8, 4, 2])
+def test_sharded_matches_single_device(simplex_parallel):
+    """DP over simplices × SP over witnesses must reproduce the
+    single-device result exactly (min-reduction is associative)."""
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    X = generate_noisy_torus_points_3d(1200, seed=42)
+    L = generate_landmarks(X, 80, start_idx=0)
+
+    fc_single = flood_complex(X, L, points_per_edge=8, use_pallas=False)
+    mesh = make_mesh(simplex_parallel=simplex_parallel)
+    fc_mesh = flood_complex(X, L, points_per_edge=8, mesh=mesh)
+
+    assert set(fc_single) == set(fc_mesh)
+    for simplex, val in fc_single.items():
+        got = fc_mesh[simplex]
+        if np.isinf(val):
+            assert np.isinf(got)
+        else:
+            assert got == pytest.approx(val, abs=2e-6)
+
+
+def test_sharded_rand_mode():
+    X = generate_noisy_torus_points_3d(1000, seed=1)
+    L = generate_landmarks(X, 50, start_idx=0)
+    mesh = make_mesh(simplex_parallel=2)
+    np.random.seed(42)
+    fc_single = flood_complex(X, L, num_rand=128, points_per_edge=None)
+    np.random.seed(42)
+    fc_mesh = flood_complex(X, L, num_rand=128, points_per_edge=None, mesh=mesh)
+    for simplex, val in fc_single.items():
+        assert fc_mesh[simplex] == pytest.approx(val, abs=2e-6, nan_ok=True)
