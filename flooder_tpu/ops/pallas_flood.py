@@ -93,21 +93,22 @@ def _flood_kernel(
 
     @pl.when(pair_first_ref[p] == 1)
     def _init():
-        out_ref[:] = jnp.full_like(out_ref, jnp.inf)
+        out_ref[:] = jnp.full(out_ref.shape, jnp.inf, dtype=out_ref.dtype)
 
     y = wit_ref[:]  # (WC, dim)
+    rt = samples_ref.shape[2]
     for s in range(bs):
-        c_s = cent_ref[s, :]  # (dim,)
-        yl = y - c_s[None, :]  # (WC, dim) ball-local witnesses
+        c_s = cent_ref[s : s + 1, :]  # (1, dim)
+        yl = y - c_s  # (WC, dim) ball-local witnesses
         y2 = jnp.sum(yl * yl, axis=1, keepdims=True)  # (WC, 1)
-        r2 = rad_ref[s, 0] * rad_ref[s, 0]
-        # Mask by moving rejected witnesses far away: (big − x)² overflows
-        # to +inf in f32 and drops out of the min — no per-element select.
+        r2 = rad_ref[s : s + 1, :] * rad_ref[s : s + 1, :]  # (1, 1)
+        # Mask by moving rejected witnesses far away: (big − x)² saturates
+        # in f32 and drops out of the min — no per-element select.
         ymask = jnp.where(y2 <= r2, yl, jnp.float32(3e18))  # (WC, dim)
-        rt = samples_ref.shape[2]
+        xb = samples_ref[s]  # (dim, RT)
         d2 = jnp.zeros((ymask.shape[0], rt), dtype=jnp.float32)
         for i in range(dim):
-            diff = ymask[:, i : i + 1] - samples_ref[s, i, :][None, :]
+            diff = ymask[:, i : i + 1] - xb[i : i + 1, :]
             d2 = d2 + diff * diff
         chunk_min = jnp.min(d2, axis=0, keepdims=True)  # (1, RT)
         out_ref[s : s + 1, :] = jnp.minimum(out_ref[s : s + 1, :], chunk_min)
