@@ -1,0 +1,129 @@
+"""Dataset layer tests (lifecycle, indexing semantics, subset views).
+
+Download-based datasets can't be exercised offline; the procedural
+SwisscheeseDataset covers the full FlooderDataset lifecycle, and indexing
+semantics are covered on it directly (reference tests had no dataset tests
+at all — this is additional coverage)."""
+
+import numpy as np
+import pytest
+
+from flooder_tpu.datasets import (
+    CoralDataset,
+    FlooderData,
+    MCBDataset,
+    ModelNet10Dataset,
+    SwisscheeseDataset,
+)
+
+
+@pytest.fixture(scope="module")
+def cheese_ds(tmp_path_factory):
+    root = tmp_path_factory.mktemp("swisscheese")
+    return SwisscheeseDataset(
+        str(root), ks=[2, 4], num_per_class=4, num_points=500
+    )
+
+
+def test_lifecycle_and_load(cheese_ds):
+    ds = cheese_ds
+    assert len(ds) == 8
+    assert ds.num_classes == 2
+    assert ds.classes == [0, 1]
+    assert set(ds.splits.keys()) == set(range(10))
+    item = ds[0]
+    assert isinstance(item, FlooderData)
+    assert item.x.shape == (500, 3)
+    assert item.x.dtype == np.float32
+    # splits partition the dataset 72/8/20
+    s = ds.splits[0]
+    all_idx = sorted(s["trn"] + s["val"] + s["tst"])
+    assert all_idx == list(range(8))
+
+
+def test_reload_from_processed(cheese_ds):
+    # second construction must reuse processed artifacts (sentinel logic)
+    ds2 = SwisscheeseDataset(
+        cheese_ds.root, ks=[2, 4], num_per_class=4, num_points=500
+    )
+    assert len(ds2) == 8
+    assert [d.name for d in ds2] == [d.name for d in cheese_ds]
+
+
+def test_indexing_views(cheese_ds):
+    ds = cheese_ds
+    sub = ds[2:6]
+    assert len(sub) == 4
+    assert sub[0].name == ds[2].name
+    # float-fraction slicing
+    frac = ds[:0.5]
+    assert len(frac) == 4
+    # integer-array and bool-array indexing
+    ia = ds[np.asarray([0, 3, 5], dtype=np.int64)]
+    assert len(ia) == 3 and ia[1].name == ds[3].name
+    mask = np.zeros(8, dtype=bool)
+    mask[[1, 7]] = True
+    bm = ds[mask]
+    assert len(bm) == 2 and bm[1].name == ds[7].name
+    # nested views compose
+    nested = ds[2:8][::2]
+    assert len(nested) == 3 and nested[1].name == ds[4].name
+    # sequences
+    seq = ds[[7, 0]]
+    assert seq[0].name == ds[7].name
+    with pytest.raises(IndexError):
+        ds["bad"]
+
+
+def test_torch_tensor_indexing(cheese_ds):
+    torch = pytest.importorskip("torch")
+    ds = cheese_ds
+    sub = ds[torch.tensor([1, 2], dtype=torch.long)]
+    assert len(sub) == 2
+    mask = torch.zeros(8, dtype=torch.bool)
+    mask[5] = True
+    assert len(ds[mask]) == 1
+
+
+def test_shuffle(cheese_ds):
+    np.random.seed(0)
+    shuffled, perm = cheese_ds.shuffle(return_perm=True)
+    assert sorted(perm.tolist()) == list(range(8))
+    assert shuffled[0].name == cheese_ds[int(perm[0])].name
+
+
+def test_transforms(cheese_ds):
+    def double(d):
+        return FlooderData(x=d.x * 2, y=d.y, name=d.name)
+
+    ds = SwisscheeseDataset(
+        cheese_ds.root, ks=[2, 4], num_per_class=4, num_points=500,
+        transform=double,
+    )
+    assert np.allclose(ds[0].x, cheese_ds[0].x * 2)
+
+
+def test_repr(cheese_ds):
+    r = repr(cheese_ds)
+    assert "SwisscheeseDataset" in r and "n=8" in r
+    assert "subset=yes" in repr(cheese_ds[:4])
+
+
+def test_download_requires_gdown_or_manual(tmp_path):
+    # zero-egress environment: downloads must fail with a clear message
+    try:
+        import gdown  # noqa: F401
+
+        pytest.skip("gdown installed; download path untestable offline")
+    except ImportError:
+        pass
+    for cls in (CoralDataset, MCBDataset, ModelNet10Dataset):
+        with pytest.raises(ImportError, match="gdown"):
+            cls(str(tmp_path / cls.__name__))
+
+
+def test_pinned_checksums():
+    # dataset identity must match the reference distribution exactly
+    assert CoralDataset.checksum.fget(None).startswith("e8b5ae6b")
+    assert MCBDataset.checksum.fget(None).startswith("dc36e1c5")
+    assert ModelNet10Dataset.checksum.fget(None).startswith("6f9504d5")
