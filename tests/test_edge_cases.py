@@ -1,0 +1,77 @@
+"""Edge-case and stress tests: higher ambient dimensions, reduced
+max_dimension, tiny landmark sets (SURVEY §7 phase 5 / behavioral edge
+cases from reference core.py:91-153)."""
+
+import numpy as np
+import pytest
+
+from flooder_tpu import flood_complex, generate_swiss_cheese_points
+from flooder_tpu.topology import SimplexTree
+
+
+def test_max_dimension_below_ambient():
+    """max_dimension=2 in 3D: grid mode processes only triangles; the tree
+    still holds tetrahedra whose filtration is repaired from faces."""
+    pts, _, _ = generate_swiss_cheese_points(2000, seed=3)
+    st = flood_complex(
+        pts, 100, max_dimension=2, points_per_edge=8,
+        return_simplex_tree=True, start_idx=0,
+    )
+    dims = {}
+    for s, f in st.get_simplices():
+        dims.setdefault(len(s) - 1, 0)
+        dims[len(s) - 1] += 1
+        assert np.isfinite(f) or len(s) - 1 > 2
+    assert 0 in dims and 1 in dims and 2 in dims
+    # faces <= cofaces still holds
+    st.compute_persistence()
+    assert len(st.persistence_intervals_in_dimension(0)) > 0
+
+
+def test_4d_cloud():
+    rng = np.random.default_rng(0)
+    pts = rng.random((3000, 4)).astype(np.float32)
+    fc = flood_complex(pts, 60, points_per_edge=5, start_idx=0)
+    max_card = max(len(s) for s in fc)
+    assert max_card == 5  # 4-simplices present
+    st = SimplexTree()
+    for s, v in fc.items():
+        st.insert(s, v)
+    st.compute_persistence()
+    d0 = st.persistence_intervals_in_dimension(0)
+    assert np.isinf(d0[:, 1]).sum() == 1  # connected
+
+
+def test_rand_mode_4d():
+    rng = np.random.default_rng(1)
+    pts = rng.random((2000, 4)).astype(np.float32)
+    np.random.seed(0)
+    fc = flood_complex(pts, 40, num_rand=64, points_per_edge=None, start_idx=0)
+    assert all(np.isfinite(v) for v in fc.values())
+
+
+def test_tiny_landmark_sets():
+    rng = np.random.default_rng(2)
+    pts = rng.random((500, 3)).astype(np.float32)
+    # 5 landmarks in 3D: a near-degenerate Delaunay complex
+    fc = flood_complex(pts, 5, points_per_edge=6, start_idx=0)
+    assert len(fc) >= 5
+    verts = [s for s in fc if len(s) == 1]
+    assert len(verts) == 5
+
+
+def test_landmarks_exceed_points_in_ball_masks():
+    """landmarks == witnesses on a tiny cloud: every filtration finite."""
+    rng = np.random.default_rng(4)
+    pts = rng.random((64, 2)).astype(np.float32)
+    fc = flood_complex(pts, pts, points_per_edge=6)
+    assert all(np.isfinite(v) for v in fc.values())
+
+
+def test_pallas_4d_interpret():
+    rng = np.random.default_rng(5)
+    pts = rng.random((2000, 4)).astype(np.float32)
+    fc_d = flood_complex(pts, 40, points_per_edge=5, use_pallas=False, start_idx=0)
+    fc_p = flood_complex(pts, 40, points_per_edge=5, use_pallas=True, start_idx=0)
+    for s, v in fc_d.items():
+        assert fc_p[s] == pytest.approx(v, abs=1e-5, nan_ok=True)
