@@ -18,11 +18,27 @@ SimplexTree, DelaunayComplex, AlphaComplex, persistence (native C++
 reduction) and bottleneck_distance.
 """
 
+import os as _os
+
 from jax import config as _jax_config
 
 # float64 support is part of the reference API surface (core.py:118-123,
 # tests/test_flooder.py:214-246); JAX needs x64 enabled at startup for it.
 _jax_config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: TPU kernel compiles are expensive (remote
+# Mosaic AOT in some deployments); cache them across processes. Opt out with
+# FLOODER_NO_COMPILE_CACHE=1 or override via JAX_COMPILATION_CACHE_DIR.
+if not _os.environ.get("FLOODER_NO_COMPILE_CACHE"):
+    try:
+        if not _jax_config.jax_compilation_cache_dir:
+            _jax_config.update(
+                "jax_compilation_cache_dir",
+                _os.path.expanduser("~/.cache/flooder_tpu/jax"),
+            )
+        _jax_config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
 
 from .io import save_to_disk
 from .core import (

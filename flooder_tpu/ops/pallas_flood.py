@@ -45,6 +45,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _x32_mode():
+    """Context manager disabling x64 during kernel tracing."""
+    try:
+        from jax._src.config import enable_x64 as _state
+
+        return _state(False)
+    except Exception:  # pragma: no cover - jax-version fallback
+        import contextlib
+
+        return contextlib.nullcontext()
+
+
 # ---------------------------------------------------------------------------
 # Morton ordering
 # ---------------------------------------------------------------------------
@@ -243,21 +255,26 @@ class PallasFloodEngine:
         del batch_size  # block geometry is fixed by the kernel
         num_simplices, k, dim = verts.shape
         r_count = weights.shape[0]
-        s_total = _round_up(num_simplices, BS)
+        # Bucket the simplex-block count to a power of two: the output shape
+        # is part of the kernel compile key, and remote Mosaic compiles are
+        # expensive — buckets make repeat clouds hit the compile cache.
+        n_sblocks = 1 << max(0, (-(-num_simplices // BS) - 1)).bit_length()
+        s_total = n_sblocks * BS
         rt = min(RT, _round_up(r_count, 128))
         r2_total = _round_up(r_count, rt)
 
-        # Pad simplices by repeating the last row (keeps balls real).
+        # Pad simplices with far-away zero-radius balls: they intersect no
+        # witness chunk, so padding adds no work-list pairs (their output
+        # rows are sliced off below).
         if s_total != num_simplices:
+            pad_n = s_total - num_simplices
             verts = jnp.concatenate(
-                [verts, jnp.repeat(verts[-1:], s_total - num_simplices, axis=0)]
+                [verts, jnp.full((pad_n, k, dim), 8e14, verts.dtype)]
             )
             centers = jnp.concatenate(
-                [centers, jnp.repeat(centers[-1:], s_total - num_simplices, axis=0)]
+                [centers, jnp.full((pad_n, dim), 8e14, centers.dtype)]
             )
-            radii = jnp.concatenate(
-                [radii, jnp.repeat(radii[-1:], s_total - num_simplices, axis=0)]
-            )
+            radii = jnp.concatenate([radii, jnp.zeros((pad_n,), radii.dtype)])
 
         # Ball-local samples, laid out (S, dim, R) so lanes carry samples.
         weights_p = jnp.zeros((r2_total, k), weights.dtype).at[:r_count].set(
@@ -296,19 +313,35 @@ class PallasFloodEngine:
         pair_first_np = np.concatenate(
             [[1], (pair_s_np[1:] != pair_s_np[:-1]).astype(np.int64)]
         )
+        # Bucket the work-list length to a power of two (compile-key reuse);
+        # padding repeats the last pair with first=0 — the min-fold is
+        # idempotent, so recomputing one (block, chunk) pair is harmless.
+        npairs = len(pair_s_np)
+        npairs_pad = 1 << max(0, npairs - 1).bit_length()
+        if npairs_pad != npairs:
+            pad = npairs_pad - npairs
+            pair_s_np = np.concatenate([pair_s_np, np.repeat(pair_s_np[-1:], pad)])
+            pair_c_np = np.concatenate([pair_c_np, np.repeat(pair_c_np[-1:], pad)])
+            pair_first_np = np.concatenate(
+                [pair_first_np, np.zeros(pad, dtype=pair_first_np.dtype)]
+            )
 
-        out2 = _flood_pairs_call(
-            jnp.asarray(pair_s_np, dtype=jnp.int32),
-            jnp.asarray(pair_c_np, dtype=jnp.int32),
-            jnp.asarray(pair_first_np, dtype=jnp.int32),
-            samples,
-            self.witnesses,
-            centers,
-            radii[:, None],
-            bs=BS,
-            rt=rt,
-            wchunk=self.wchunk,
-            dim=dim,
-            interpret=self.interpret,
-        )
+        # Mosaic rejects int64 index arithmetic; trace the kernel in x32
+        # mode regardless of the process-wide x64 setting (the whole
+        # engine path is float32/int32).
+        with _x32_mode():
+            out2 = _flood_pairs_call(
+                jnp.asarray(pair_s_np, dtype=jnp.int32),
+                jnp.asarray(pair_c_np, dtype=jnp.int32),
+                jnp.asarray(pair_first_np, dtype=jnp.int32),
+                samples,
+                self.witnesses,
+                centers,
+                radii[:, None],
+                bs=BS,
+                rt=rt,
+                wchunk=self.wchunk,
+                dim=dim,
+                interpret=self.interpret,
+            )
         return jnp.sqrt(out2[:num_simplices, :r_count])
