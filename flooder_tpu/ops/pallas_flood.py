@@ -39,6 +39,9 @@ from jax.experimental.pallas import tpu as pltpu
 BS = 8
 RT = 512
 MORTON_BITS_TOTAL = 24
+# Work-list pairs per kernel launch: 3 int32 scalar-prefetch arrays of this
+# length must fit the chip's 1MB SMEM alongside control state.
+PAIR_SEGMENT = 32768
 
 
 def _round_up(x: int, m: int) -> int:
@@ -96,6 +99,7 @@ def _flood_kernel(
     wit_ref,  # (WC, dim) witness chunk
     cent_ref,  # (BS, dim) ball centers
     rad_ref,  # (BS, 1) ball radii
+    acc_ref,  # (BS, RT) accumulator carried across launches (aliased)
     out_ref,  # (BS, RT) running min of squared distances
     *,
     bs: int,
@@ -103,32 +107,49 @@ def _flood_kernel(
 ):
     p = pl.program_id(1)
 
+    # First visit of this output block in this launch: seed from the
+    # cross-launch accumulator (the aliased HBM buffer holds the running
+    # min of all previous segments; inf on the very first one).
     @pl.when(pair_first_ref[p] == 1)
     def _init():
-        out_ref[:] = jnp.full(out_ref.shape, jnp.inf, dtype=out_ref.dtype)
+        out_ref[:] = acc_ref[:]
 
     y = wit_ref[:]  # (WC, dim)
     rt = samples_ref.shape[2]
+    # chunk bounding box (witnesses are Morton-sorted, so it's tight)
+    box_lo = jnp.min(y, axis=0, keepdims=True)  # (1, dim)
+    box_hi = jnp.max(y, axis=0, keepdims=True)  # (1, dim)
     for s in range(bs):
         c_s = cent_ref[s : s + 1, :]  # (1, dim)
-        yl = y - c_s  # (WC, dim) ball-local witnesses
-        y2 = jnp.sum(yl * yl, axis=1, keepdims=True)  # (WC, 1)
         r2 = rad_ref[s : s + 1, :] * rad_ref[s : s + 1, :]  # (1, 1)
-        # Mask by moving rejected witnesses far away: (big − x)² saturates
-        # in f32 and drops out of the min — no per-element select.
-        ymask = jnp.where(y2 <= r2, yl, jnp.float32(3e18))  # (WC, dim)
-        xb = samples_ref[s]  # (dim, RT)
-        d2 = jnp.zeros((ymask.shape[0], rt), dtype=jnp.float32)
-        for i in range(dim):
-            diff = ymask[:, i : i + 1] - xb[i : i + 1, :]
-            d2 = d2 + diff * diff
-        chunk_min = jnp.min(d2, axis=0, keepdims=True)  # (1, RT)
-        out_ref[s : s + 1, :] = jnp.minimum(out_ref[s : s + 1, :], chunk_min)
+        # per-simplex chunk skip: ball ∩ chunk-bbox test (the work-list
+        # prunes at block granularity; this recovers simplex granularity)
+        near = jnp.clip(c_s, box_lo, box_hi) - c_s  # (1, dim)
+        near_d2 = jnp.sum(near * near, axis=1, keepdims=True)  # (1, 1)
+
+        @pl.when(near_d2[0, 0] <= r2[0, 0])
+        def _compute():
+            yl = y - c_s  # (WC, dim) ball-local witnesses
+            y2 = jnp.sum(yl * yl, axis=1, keepdims=True)  # (WC, 1)
+            # Mask by moving rejected witnesses far away: (big − x)²
+            # saturates in f32 and drops out of the min — no per-element
+            # select.
+            ymask = jnp.where(y2 <= r2, yl, jnp.float32(3e18))  # (WC, dim)
+            xb = samples_ref[s]  # (dim, RT)
+            d2 = jnp.zeros((ymask.shape[0], rt), dtype=jnp.float32)
+            for i in range(dim):
+                diff = ymask[:, i : i + 1] - xb[i : i + 1, :]
+                d2 = d2 + diff * diff
+            chunk_min = jnp.min(d2, axis=0, keepdims=True)  # (1, RT)
+            out_ref[s : s + 1, :] = jnp.minimum(
+                out_ref[s : s + 1, :], chunk_min
+            )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("bs", "rt", "wchunk", "dim", "interpret"),
+    donate_argnums=(7,),
 )
 def _flood_pairs_call(
     pair_s,
@@ -138,6 +159,7 @@ def _flood_pairs_call(
     witnesses,  # (W, dim)
     centers,  # (SB*BS, dim)
     radii,  # (SB*BS, 1)
+    acc,  # (SB*BS, R2) running min (donated/aliased in place)
     *,
     bs: int,
     rt: int,
@@ -145,7 +167,6 @@ def _flood_pairs_call(
     dim: int,
     interpret: bool,
 ):
-    n_sblocks = samples.shape[0] // bs
     r2 = samples.shape[2]
     npairs = pair_s.shape[0]
 
@@ -175,17 +196,23 @@ def _flood_pairs_call(
                     (bs, 1),
                     lambda r, p, ps, pc, pf: (ps[p], 0),
                 ),
+                pl.BlockSpec(
+                    (bs, rt),
+                    lambda r, p, ps, pc, pf: (ps[p], r),
+                ),
             ],
             out_specs=pl.BlockSpec(
                 (bs, rt),
                 lambda r, p, ps, pc, pf: (ps[p], r),
             ),
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (n_sblocks * bs, r2), jnp.float32
-        ),
+        out_shape=jax.ShapeDtypeStruct(acc.shape, jnp.float32),
+        # alias the accumulator input onto the output: untouched blocks
+        # keep their previous values, touched blocks are re-seeded from
+        # the accumulator at their first pair of this launch
+        input_output_aliases={7: 0},
         interpret=interpret,
-    )(pair_s, pair_c, pair_first, samples, witnesses, centers, radii)
+    )(pair_s, pair_c, pair_first, samples, witnesses, centers, radii, acc)
     return out
 
 
@@ -296,52 +323,61 @@ class PallasFloodEngine:
             )
         )
         pair_s_np, pair_c_np = np.nonzero(active)  # row-major: sorted by s
-        n_sblocks = s_total // BS
-        # Blocks with no active chunk still need initialization: give them
-        # one pair against chunk 0 (mask kills every witness — output inf).
-        missing = np.setdiff1d(
-            np.arange(n_sblocks), pair_s_np, assume_unique=False
-        )
-        if len(missing):
-            pair_s_np = np.concatenate([pair_s_np, missing])
-            pair_c_np = np.concatenate(
-                [pair_c_np, np.zeros(len(missing), dtype=pair_c_np.dtype)]
-            )
-            order = np.argsort(pair_s_np, kind="stable")
-            pair_s_np = pair_s_np[order]
-            pair_c_np = pair_c_np[order]
-        pair_first_np = np.concatenate(
-            [[1], (pair_s_np[1:] != pair_s_np[:-1]).astype(np.int64)]
-        )
-        # Bucket the work-list length to a power of two (compile-key reuse);
-        # padding repeats the last pair with first=0 — the min-fold is
-        # idempotent, so recomputing one (block, chunk) pair is harmless.
-        npairs = len(pair_s_np)
-        npairs_pad = 1 << max(0, npairs - 1).bit_length()
-        if npairs_pad != npairs:
-            pad = npairs_pad - npairs
-            pair_s_np = np.concatenate([pair_s_np, np.repeat(pair_s_np[-1:], pad)])
-            pair_c_np = np.concatenate([pair_c_np, np.repeat(pair_c_np[-1:], pad)])
-            pair_first_np = np.concatenate(
-                [pair_first_np, np.zeros(pad, dtype=pair_first_np.dtype)]
-            )
+        pair_s_np = pair_s_np.astype(np.int32)
+        pair_c_np = pair_c_np.astype(np.int32)
 
+        # Segment the work-list into fixed-size launches: scalar-prefetch
+        # operands live in the chip's 1MB SMEM, and a fixed segment length
+        # keeps the grid (a compile key) stable across clouds. The running
+        # min is carried across launches through an aliased accumulator;
+        # blocks untouched by every segment simply keep their inf init.
+        seg_len = PAIR_SEGMENT
+        if self.interpret:
+            # interpreter: no compile cache to protect — right-size segments
+            seg_len = max(256, 1 << max(0, len(pair_s_np) - 1).bit_length())
+            seg_len = min(seg_len, PAIR_SEGMENT)
+        nseg = max(1, -(-len(pair_s_np) // seg_len))
+        total_pairs = nseg * seg_len
+        if total_pairs != len(pair_s_np):
+            pad = total_pairs - len(pair_s_np)
+            if len(pair_s_np):
+                # repeat the last pair: the min-fold is idempotent
+                pair_s_np = np.concatenate(
+                    [pair_s_np, np.repeat(pair_s_np[-1:], pad)]
+                )
+                pair_c_np = np.concatenate(
+                    [pair_c_np, np.repeat(pair_c_np[-1:], pad)]
+                )
+            else:
+                pair_s_np = np.zeros(pad, dtype=np.int32)
+                pair_c_np = np.zeros(pad, dtype=np.int32)
+
+        acc = jnp.full((s_total, r2_total), jnp.inf, dtype=jnp.float32)
+        radii2 = radii[:, None]
         # Mosaic rejects int64 index arithmetic; trace the kernel in x32
         # mode regardless of the process-wide x64 setting (the whole
         # engine path is float32/int32).
         with _x32_mode():
-            out2 = _flood_pairs_call(
-                jnp.asarray(pair_s_np, dtype=jnp.int32),
-                jnp.asarray(pair_c_np, dtype=jnp.int32),
-                jnp.asarray(pair_first_np, dtype=jnp.int32),
-                samples,
-                self.witnesses,
-                centers,
-                radii[:, None],
-                bs=BS,
-                rt=rt,
-                wchunk=self.wchunk,
-                dim=dim,
-                interpret=self.interpret,
-            )
-        return jnp.sqrt(out2[:num_simplices, :r_count])
+            for g in range(nseg):
+                sl = slice(g * seg_len, (g + 1) * seg_len)
+                seg_s = pair_s_np[sl]
+                seg_c = pair_c_np[sl]
+                seg_first = np.concatenate(
+                    [[1], (seg_s[1:] != seg_s[:-1]).astype(np.int32)]
+                ).astype(np.int32)
+                acc = _flood_pairs_call(
+                    jnp.asarray(seg_s),
+                    jnp.asarray(seg_c),
+                    jnp.asarray(seg_first),
+                    samples,
+                    self.witnesses,
+                    centers,
+                    radii2,
+                    acc,
+                    bs=BS,
+                    rt=rt,
+                    wchunk=self.wchunk,
+                    dim=dim,
+                    interpret=self.interpret,
+                )
+        return jnp.sqrt(acc[:num_simplices, :r_count])
