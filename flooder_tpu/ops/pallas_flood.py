@@ -15,12 +15,18 @@ precomputed **active-pair work-list** (SURVEY §7 idiom 1):
   bounding box; only intersecting pairs enter the work-list. This prunes in
   ALL ambient dimensions — strictly stronger than the reference's 1-D
   ``searchsorted`` window (core.py:201-208).
-- The kernel walks the work-list (scalar-prefetched indices choose which
-  blocks to DMA), computes masked squared distances with the
-  coordinate-difference form in ball-local coordinates, and folds a running
-  minimum into the (simplex, sample) output block. Pairs of the same
-  simplex-block are consecutive, so output revisiting is sequential — the
-  TPU-legal replacement for ``tl.atomic_min`` (triton_kernels.py:45).
+- The kernel walks the work-list as a **1-D grid** (one step per pair;
+  scalar-prefetched indices choose the DMA blocks): all sample tiles of a
+  simplex block are processed inside the kernel, so the per-step grid
+  overhead amortizes over the whole (8 simplices × R samples × 2048
+  witnesses) unit of work. Within a step, witnesses are processed in
+  512-point sub-chunks with a per-(simplex, sub-chunk) ball/bbox skip.
+- Pairs of the same simplex-block are consecutive, so output revisiting is
+  sequential — the TPU-legal replacement for ``tl.atomic_min``
+  (triton_kernels.py:45). The running min is carried across launches
+  through an aliased accumulator (fixed-size pair segments keep the
+  scalar-prefetch operands inside the 1MB SMEM budget and make the grid a
+  stable compile key).
 """
 
 from __future__ import annotations
@@ -33,15 +39,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Block geometry: BS simplices × RT sample points per output tile, WC
-# witnesses per chunk. Lanes carry the sample axis (RT) in the output and
-# the witness axis (WC) in the distance tile.
+# Block geometry: BS simplices per block, RT sample points per tile (lanes),
+# WCHUNK witnesses per DMA chunk processed in SUB-point sub-chunks.
 BS = 8
 RT = 512
+WCHUNK = 2048
+SUB = 512
 MORTON_BITS_TOTAL = 24
 # Work-list pairs per kernel launch: 3 int32 scalar-prefetch arrays of this
 # length must fit the chip's 1MB SMEM alongside control state.
-PAIR_SEGMENT = 32768
+PAIR_SEGMENT = 8192
 
 
 def _round_up(x: int, m: int) -> int:
@@ -95,115 +102,124 @@ def _flood_kernel(
     pair_s_ref,  # scalar prefetch: (P,) simplex-block id per pair
     pair_c_ref,  # scalar prefetch: (P,) witness-chunk id per pair
     pair_first_ref,  # scalar prefetch: (P,) 1 if first pair of its block
-    samples_ref,  # (BS, dim, RT) ball-local sample coordinates
-    wit_ref,  # (WC, dim) witness chunk
+    samples_ref,  # (BS, NR, dim, RT) ball-local sample coordinates
+    wit_ref,  # (WCHUNK, dim) witness chunk
     cent_ref,  # (BS, dim) ball centers
     rad_ref,  # (BS, 1) ball radii
-    acc_ref,  # (BS, RT) accumulator carried across launches (aliased)
-    out_ref,  # (BS, RT) running min of squared distances
+    acc_ref,  # (BS, NR, RT) accumulator carried across launches (aliased)
+    out_ref,  # (BS, NR, RT) running min of squared distances
     *,
     bs: int,
     dim: int,
+    nsub: int,
+    sub: int,
 ):
-    p = pl.program_id(1)
+    p = pl.program_id(0)
 
     # First visit of this output block in this launch: seed from the
     # cross-launch accumulator (the aliased HBM buffer holds the running
-    # min of all previous segments; inf on the very first one).
+    # min of all previous segments; inf before the first one).
     @pl.when(pair_first_ref[p] == 1)
     def _init():
         out_ref[:] = acc_ref[:]
 
-    y = wit_ref[:]  # (WC, dim)
-    rt = samples_ref.shape[2]
-    # chunk bounding box (witnesses are Morton-sorted, so it's tight)
-    box_lo = jnp.min(y, axis=0, keepdims=True)  # (1, dim)
-    box_hi = jnp.max(y, axis=0, keepdims=True)  # (1, dim)
-    for s in range(bs):
-        c_s = cent_ref[s : s + 1, :]  # (1, dim)
-        r2 = rad_ref[s : s + 1, :] * rad_ref[s : s + 1, :]  # (1, 1)
-        # per-simplex chunk skip: ball ∩ chunk-bbox test (the work-list
-        # prunes at block granularity; this recovers simplex granularity)
-        near = jnp.clip(c_s, box_lo, box_hi) - c_s  # (1, dim)
-        near_d2 = jnp.sum(near * near, axis=1, keepdims=True)  # (1, 1)
+    nr = samples_ref.shape[1]
+    rt = samples_ref.shape[3]
 
-        @pl.when(near_d2[0, 0] <= r2[0, 0])
-        def _compute():
-            yl = y - c_s  # (WC, dim) ball-local witnesses
-            y2 = jnp.sum(yl * yl, axis=1, keepdims=True)  # (WC, 1)
-            # Mask by moving rejected witnesses far away: (big − x)²
-            # saturates in f32 and drops out of the min — no per-element
-            # select.
-            ymask = jnp.where(y2 <= r2, yl, jnp.float32(3e18))  # (WC, dim)
-            xb = samples_ref[s]  # (dim, RT)
-            d2 = jnp.zeros((ymask.shape[0], rt), dtype=jnp.float32)
-            for i in range(dim):
-                diff = ymask[:, i : i + 1] - xb[i : i + 1, :]
-                d2 = d2 + diff * diff
-            chunk_min = jnp.min(d2, axis=0, keepdims=True)  # (1, RT)
-            out_ref[s : s + 1, :] = jnp.minimum(
-                out_ref[s : s + 1, :], chunk_min
-            )
+    for isub in range(nsub):
+        y = wit_ref[isub * sub : (isub + 1) * sub, :]  # (SUB, dim)
+        # sub-chunk bounding box (witnesses are Morton-sorted → tight)
+        box_lo = jnp.min(y, axis=0, keepdims=True)  # (1, dim)
+        box_hi = jnp.max(y, axis=0, keepdims=True)  # (1, dim)
+        for s in range(bs):
+            c_s = cent_ref[s : s + 1, :]  # (1, dim)
+            r2 = rad_ref[s : s + 1, :] * rad_ref[s : s + 1, :]  # (1, 1)
+            near = jnp.clip(c_s, box_lo, box_hi) - c_s
+            near_d2 = jnp.sum(near * near, axis=1, keepdims=True)
+
+            @pl.when(near_d2[0, 0] <= r2[0, 0])
+            def _compute(s=s, y=y, c_s=c_s, r2=r2):
+                yl = y - c_s  # (SUB, dim) ball-local witnesses
+                y2 = jnp.sum(yl * yl, axis=1, keepdims=True)  # (SUB, 1)
+                # Mask by moving rejected witnesses far away: (big − x)²
+                # saturates and drops out of the min — no per-element
+                # select.
+                ymask = jnp.where(y2 <= r2, yl, jnp.float32(3e18))
+
+                def r_body(r, carry):
+                    x = samples_ref[s, r]  # (dim, RT)
+                    d2 = jnp.zeros((sub, rt), dtype=jnp.float32)
+                    for i in range(dim):
+                        diff = ymask[:, i : i + 1] - x[i : i + 1, :]
+                        d2 = d2 + diff * diff
+                    cmin = jnp.min(d2, axis=0, keepdims=True)  # (1, RT)
+                    prev = out_ref[s, pl.ds(r, 1), :]  # (1, RT)
+                    out_ref[s, pl.ds(r, 1), :] = jnp.minimum(prev, cmin)
+                    return carry
+
+                jax.lax.fori_loop(0, nr, r_body, 0)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bs", "rt", "wchunk", "dim", "interpret"),
+    static_argnames=("bs", "dim", "nsub", "sub", "interpret"),
     donate_argnums=(7,),
 )
 def _flood_pairs_call(
     pair_s,
     pair_c,
     pair_first,
-    samples,  # (SB*BS, dim, R2) ball-local
+    samples,  # (SB*BS, NR, dim, RT) ball-local
     witnesses,  # (W, dim)
     centers,  # (SB*BS, dim)
     radii,  # (SB*BS, 1)
-    acc,  # (SB*BS, R2) running min (donated/aliased in place)
+    acc,  # (SB*BS, NR, RT) running min (donated/aliased in place)
     *,
     bs: int,
-    rt: int,
-    wchunk: int,
     dim: int,
+    nsub: int,
+    sub: int,
     interpret: bool,
 ):
-    r2 = samples.shape[2]
     npairs = pair_s.shape[0]
+    nr = samples.shape[1]
+    rt = samples.shape[3]
+    wchunk = nsub * sub
 
-    grid = (r2 // rt, npairs)
-
-    kernel = functools.partial(_flood_kernel, bs=bs, dim=dim)
+    kernel = functools.partial(
+        _flood_kernel, bs=bs, dim=dim, nsub=nsub, sub=sub
+    )
 
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=grid,
+            grid=(npairs,),
             in_specs=[
                 pl.BlockSpec(
-                    (bs, dim, rt),
-                    lambda r, p, ps, pc, pf: (ps[p], 0, r),
+                    (bs, nr, dim, rt),
+                    lambda p, ps, pc, pf: (ps[p], 0, 0, 0),
                 ),
                 pl.BlockSpec(
                     (wchunk, dim),
-                    lambda r, p, ps, pc, pf: (pc[p], 0),
+                    lambda p, ps, pc, pf: (pc[p], 0),
                 ),
                 pl.BlockSpec(
                     (bs, dim),
-                    lambda r, p, ps, pc, pf: (ps[p], 0),
+                    lambda p, ps, pc, pf: (ps[p], 0),
                 ),
                 pl.BlockSpec(
                     (bs, 1),
-                    lambda r, p, ps, pc, pf: (ps[p], 0),
+                    lambda p, ps, pc, pf: (ps[p], 0),
                 ),
                 pl.BlockSpec(
-                    (bs, rt),
-                    lambda r, p, ps, pc, pf: (ps[p], r),
+                    (bs, nr, rt),
+                    lambda p, ps, pc, pf: (ps[p], 0, 0),
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (bs, rt),
-                lambda r, p, ps, pc, pf: (ps[p], r),
+                (bs, nr, rt),
+                lambda p, ps, pc, pf: (ps[p], 0, 0),
             ),
         ),
         out_shape=jax.ShapeDtypeStruct(acc.shape, jnp.float32),
@@ -229,7 +245,6 @@ def _active_pairs_matrix(centers, radii, chunk_lo, chunk_hi, wchunk, bs):
     n_sblocks = s_total // bs
     c = centers.reshape(n_sblocks, bs, -1)
     r = radii.reshape(n_sblocks, bs)
-    # closest point of box to each center
     nearest = jnp.clip(
         c[:, :, None, :], chunk_lo[None, None, :, :], chunk_hi[None, None, :, :]
     )
@@ -252,9 +267,8 @@ class PallasFloodEngine:
 
             interpret = platform_of(points) != "tpu"
         self.interpret = interpret
-        # witness chunk length: bounded for VMEM ((WC, dim) tile + (WC, RT)
-        # distance tile per unrolled simplex)
-        self.wchunk = min(512, max(128, wchunk))
+        del wchunk  # pallas block geometry is fixed by the kernel
+        self.wchunk = WCHUNK
         n, dim = points.shape
         self.dim = dim
         bits = max(1, min(10, MORTON_BITS_TOTAL // dim))
@@ -283,12 +297,13 @@ class PallasFloodEngine:
         num_simplices, k, dim = verts.shape
         r_count = weights.shape[0]
         # Bucket the simplex-block count to a power of two: the output shape
-        # is part of the kernel compile key, and remote Mosaic compiles are
-        # expensive — buckets make repeat clouds hit the compile cache.
+        # is part of the kernel compile key, and cold TPU kernel compiles
+        # are expensive — buckets make repeat clouds hit the compile cache.
         n_sblocks = 1 << max(0, (-(-num_simplices // BS) - 1)).bit_length()
         s_total = n_sblocks * BS
         rt = min(RT, _round_up(r_count, 128))
-        r2_total = _round_up(r_count, rt)
+        nr = -(-r_count // rt)
+        r2_total = nr * rt
 
         # Pad simplices with far-away zero-radius balls: they intersect no
         # witness chunk, so padding adds no work-list pairs (their output
@@ -303,17 +318,21 @@ class PallasFloodEngine:
             )
             radii = jnp.concatenate([radii, jnp.zeros((pad_n,), radii.dtype)])
 
-        # Ball-local samples, laid out (S, dim, R) so lanes carry samples.
+        # Ball-local samples, laid out (S, NR, dim, RT): lanes carry the
+        # sample tile, the r-tile axis is walked inside the kernel.
         weights_p = jnp.zeros((r2_total, k), weights.dtype).at[:r_count].set(
             weights
         )
         verts_local = verts - centers[:, None, :]
         samples = jnp.einsum(
-            "rk,skd->sdr",
+            "rk,skd->srd",
             weights_p,
             verts_local,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (S, dim, R2)
+        )  # (S, R2, dim)
+        samples = jnp.transpose(
+            samples.reshape(s_total, nr, rt, dim), (0, 1, 3, 2)
+        )  # (S, NR, dim, RT)
 
         # Active-pair work-list (host-side nonzero of a device bool matrix).
         active = np.asarray(
@@ -352,7 +371,7 @@ class PallasFloodEngine:
                 pair_s_np = np.zeros(pad, dtype=np.int32)
                 pair_c_np = np.zeros(pad, dtype=np.int32)
 
-        acc = jnp.full((s_total, r2_total), jnp.inf, dtype=jnp.float32)
+        acc = jnp.full((s_total, nr, rt), jnp.inf, dtype=jnp.float32)
         radii2 = radii[:, None]
         # Mosaic rejects int64 index arithmetic; trace the kernel in x32
         # mode regardless of the process-wide x64 setting (the whole
@@ -375,9 +394,10 @@ class PallasFloodEngine:
                     radii2,
                     acc,
                     bs=BS,
-                    rt=rt,
-                    wchunk=self.wchunk,
                     dim=dim,
+                    nsub=WCHUNK // SUB,
+                    sub=SUB,
                     interpret=self.interpret,
                 )
-        return jnp.sqrt(acc[:num_simplices, :r_count])
+        out = acc.reshape(s_total, r2_total)
+        return jnp.sqrt(out[:num_simplices, :r_count])
