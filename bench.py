@@ -32,9 +32,11 @@ def run(n_points: int, n_landmarks: int, reps: int, warmup: bool = True):
     pts.block_until_ready()
 
     if warmup:
-        # compile-warm the pipeline on a small prefix (the reference warms
-        # up the same way, examples/example_01_cheese_3d.py:78-82)
-        st = flood_complex(pts[:100_000], n_landmarks, return_simplex_tree=True)
+        # compile-warm with the FULL shapes (kernel compile keys include
+        # array sizes; a small-prefix warmup would leave the timed reps
+        # cold). The reference warms up analogously before timing
+        # (examples/example_01_cheese_3d.py:78-82).
+        st = flood_complex(pts, n_landmarks, return_simplex_tree=True)
         st.compute_persistence()
 
     times = []

@@ -238,6 +238,7 @@ def flood_complex(
     use_triton: Optional[bool] = None,
     wchunk: Optional[int] = WCHUNK,
     mesh=None,
+    landmarks_in_cloud: Optional[bool] = None,
     _engine_override=None,
 ) -> Union[dict, SimplexTree]:
     """Construct a Flood complex from witness points and landmarks.
@@ -286,8 +287,14 @@ def flood_complex(
         landmarks = generate_landmarks(
             points, min(int(landmarks), points.shape[0]), fps_h, start_idx=start_idx
         )
+        # FPS selects landmarks FROM the cloud, so every simplex vertex is
+        # a witness — enables provably-lossless tile pruning in the TPU
+        # kernel (see ops/pallas_flood.py).
+        if landmarks_in_cloud is None:
+            landmarks_in_cloud = True
     else:
         landmarks = as_jax_array(landmarks)
+    tight = bool(landmarks_in_cloud)
     if platform_of(landmarks) != platform_of(points):
         raise RuntimeError(
             f"landmarks.device ({platform_of(landmarks)}) != "
@@ -360,7 +367,7 @@ def flood_complex(
 
         bsz = num_simplices if batch_size is None else int(batch_size)
         distances = engine.min_distances(
-            sim_verts, weights, centers, radii, bsz
+            sim_verts, weights, centers, radii, bsz, tight=tight
         )  # (S, R)
 
         if num_rand is None:

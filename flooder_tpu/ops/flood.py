@@ -220,8 +220,14 @@ class DenseFloodEngine:
         centers: jax.Array,
         radii: jax.Array,
         batch_size: int,
+        tight: bool = False,
     ) -> jax.Array:
-        """(S, R) min distances; S rows ordered as the inputs."""
+        """(S, R) min distances; S rows ordered as the inputs.
+
+        ``tight`` (landmarks ⊆ witnesses) is a kernel-level pruning hint
+        used by the Pallas engine; the dense reduction ignores it.
+        """
+        del tight
         num_simplices = verts.shape[0]
         bsz = max(1, min(int(batch_size), num_simplices))
         # Cap the (B, R, C) distance intermediate at ~256 MB so a large

@@ -41,10 +41,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Block geometry: BS simplices per block, RT sample points per tile (lanes),
 # WCHUNK witnesses per DMA chunk processed in SUB-point sub-chunks.
-BS = 8
-RT = 512
-WCHUNK = 2048
-SUB = 512
+# Env overrides exist for benchmarking experiments.
+import os as _os
+
+BS = int(_os.environ.get("FLOODER_PALLAS_BS", 8))
+RT = int(_os.environ.get("FLOODER_PALLAS_RT", 512))
+WCHUNK = int(_os.environ.get("FLOODER_PALLAS_WCHUNK", 2048))
+SUB = int(_os.environ.get("FLOODER_PALLAS_SUB", 512))
 MORTON_BITS_TOTAL = 24
 # Work-list pairs per kernel launch: 3 int32 scalar-prefetch arrays of this
 # length must fit the chip's 1MB SMEM alongside control state.
@@ -106,6 +109,9 @@ def _flood_kernel(
     wit_ref,  # (WCHUNK, dim) witness chunk
     cent_ref,  # (BS, dim) ball centers
     rad_ref,  # (BS, 1) ball radii
+    tile_lo_ref,  # (BS, NR, dim) sample-tile bbox lower corner (ball-local)
+    tile_hi_ref,  # (BS, NR, dim) sample-tile bbox upper corner
+    ub2_ref,  # (BS, NR, 1) squared upper bound on each tile's min-distance
     acc_ref,  # (BS, NR, RT) accumulator carried across launches (aliased)
     out_ref,  # (BS, NR, RT) running min of squared distances
     *,
@@ -136,9 +142,12 @@ def _flood_kernel(
             r2 = rad_ref[s : s + 1, :] * rad_ref[s : s + 1, :]  # (1, 1)
             near = jnp.clip(c_s, box_lo, box_hi) - c_s
             near_d2 = jnp.sum(near * near, axis=1, keepdims=True)
+            # sub-chunk box in ball-local coordinates (for tile gap tests)
+            blo = box_lo - c_s
+            bhi = box_hi - c_s
 
             @pl.when(near_d2[0, 0] <= r2[0, 0])
-            def _compute(s=s, y=y, c_s=c_s, r2=r2):
+            def _compute(s=s, y=y, c_s=c_s, r2=r2, blo=blo, bhi=bhi):
                 yl = y - c_s  # (SUB, dim) ball-local witnesses
                 y2 = jnp.sum(yl * yl, axis=1, keepdims=True)  # (SUB, 1)
                 # Mask by moving rejected witnesses far away: (big − x)²
@@ -147,14 +156,30 @@ def _flood_kernel(
                 ymask = jnp.where(y2 <= r2, yl, jnp.float32(3e18))
 
                 def r_body(r, carry):
-                    x = samples_ref[s, r]  # (dim, RT)
-                    d2 = jnp.zeros((sub, rt), dtype=jnp.float32)
-                    for i in range(dim):
-                        diff = ymask[:, i : i + 1] - x[i : i + 1, :]
-                        d2 = d2 + diff * diff
-                    cmin = jnp.min(d2, axis=0, keepdims=True)  # (1, RT)
-                    prev = out_ref[s, pl.ds(r, 1), :]  # (1, RT)
-                    out_ref[s, pl.ds(r, 1), :] = jnp.minimum(prev, cmin)
+                    # tile-level skip: if this sample tile's guaranteed
+                    # upper bound (distance to its nearest simplex vertex,
+                    # valid when landmarks ⊆ witnesses; +inf otherwise)
+                    # beats the tile-to-subchunk box gap, no witness in
+                    # this sub-chunk can improve any of the tile's minima.
+                    tlo = tile_lo_ref[s, pl.ds(r, 1), :]  # (1, dim)
+                    thi = tile_hi_ref[s, pl.ds(r, 1), :]  # (1, dim)
+                    gap = jnp.maximum(
+                        jnp.maximum(blo - thi, tlo - bhi), 0.0
+                    )
+                    gap2 = jnp.sum(gap * gap, axis=1, keepdims=True)
+                    ub2 = ub2_ref[s, pl.ds(r, 1), :]  # (1, 1)
+
+                    @pl.when(gap2[0, 0] <= ub2[0, 0])
+                    def _tile(r=r):
+                        x = samples_ref[s, r]  # (dim, RT)
+                        d2 = jnp.zeros((sub, rt), dtype=jnp.float32)
+                        for i in range(dim):
+                            diff = ymask[:, i : i + 1] - x[i : i + 1, :]
+                            d2 = d2 + diff * diff
+                        cmin = jnp.min(d2, axis=0, keepdims=True)  # (1, RT)
+                        prev = out_ref[s, pl.ds(r, 1), :]  # (1, RT)
+                        out_ref[s, pl.ds(r, 1), :] = jnp.minimum(prev, cmin)
+
                     return carry
 
                 jax.lax.fori_loop(0, nr, r_body, 0)
@@ -163,7 +188,7 @@ def _flood_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("bs", "dim", "nsub", "sub", "interpret"),
-    donate_argnums=(7,),
+    donate_argnums=(10,),
 )
 def _flood_pairs_call(
     pair_s,
@@ -173,6 +198,9 @@ def _flood_pairs_call(
     witnesses,  # (W, dim)
     centers,  # (SB*BS, dim)
     radii,  # (SB*BS, 1)
+    tile_lo,  # (SB*BS, NR, dim)
+    tile_hi,  # (SB*BS, NR, dim)
+    ub2,  # (SB*BS, NR, 1)
     acc,  # (SB*BS, NR, RT) running min (donated/aliased in place)
     *,
     bs: int,
@@ -213,6 +241,18 @@ def _flood_pairs_call(
                     lambda p, ps, pc, pf: (ps[p], 0),
                 ),
                 pl.BlockSpec(
+                    (bs, nr, dim),
+                    lambda p, ps, pc, pf: (ps[p], 0, 0),
+                ),
+                pl.BlockSpec(
+                    (bs, nr, dim),
+                    lambda p, ps, pc, pf: (ps[p], 0, 0),
+                ),
+                pl.BlockSpec(
+                    (bs, nr, 1),
+                    lambda p, ps, pc, pf: (ps[p], 0, 0),
+                ),
+                pl.BlockSpec(
                     (bs, nr, rt),
                     lambda p, ps, pc, pf: (ps[p], 0, 0),
                 ),
@@ -226,9 +266,12 @@ def _flood_pairs_call(
         # alias the accumulator input onto the output: untouched blocks
         # keep their previous values, touched blocks are re-seeded from
         # the accumulator at their first pair of this launch
-        input_output_aliases={7: 0},
+        input_output_aliases={10: 0},
         interpret=interpret,
-    )(pair_s, pair_c, pair_first, samples, witnesses, centers, radii, acc)
+    )(
+        pair_s, pair_c, pair_first, samples, witnesses, centers, radii,
+        tile_lo, tile_hi, ub2, acc,
+    )
     return out
 
 
@@ -292,7 +335,9 @@ class PallasFloodEngine:
     def order(self, centers: jax.Array) -> jax.Array:
         return jnp.argsort(morton_codes(centers, self._bits))
 
-    def min_distances(self, verts, weights, centers, radii, batch_size):
+    def min_distances(
+        self, verts, weights, centers, radii, batch_size, tight=False
+    ):
         del batch_size  # block geometry is fixed by the kernel
         num_simplices, k, dim = verts.shape
         r_count = weights.shape[0]
@@ -324,15 +369,33 @@ class PallasFloodEngine:
             weights
         )
         verts_local = verts - centers[:, None, :]
-        samples = jnp.einsum(
+        samples_flat = jnp.einsum(
             "rk,skd->srd",
             weights_p,
             verts_local,
             precision=jax.lax.Precision.HIGHEST,
         )  # (S, R2, dim)
-        samples = jnp.transpose(
-            samples.reshape(s_total, nr, rt, dim), (0, 1, 3, 2)
-        )  # (S, NR, dim, RT)
+        samples_t = samples_flat.reshape(s_total, nr, rt, dim)
+        samples = jnp.transpose(samples_t, (0, 1, 3, 2))  # (S, NR, dim, RT)
+
+        # Per-(simplex, sample-tile) bbox + guaranteed upper bound on the
+        # tile's min distances. When the landmarks are a subset of the
+        # witness cloud (``tight``), every sample's min distance is bounded
+        # by its distance to the nearest simplex vertex, which lets the
+        # kernel skip witness sub-chunks whose box gap exceeds the bound —
+        # provably without changing the ball-masked result. Otherwise the
+        # bound is +inf (no tile skipping).
+        tile_lo = jnp.min(samples_t, axis=2)  # (S, NR, dim) ball-local
+        tile_hi = jnp.max(samples_t, axis=2)
+        if tight:
+            dv2 = None
+            for j in range(k):
+                dj = samples_flat - verts_local[:, j : j + 1, :]
+                dj2 = jnp.sum(dj * dj, axis=-1)  # (S, R2)
+                dv2 = dj2 if dv2 is None else jnp.minimum(dv2, dj2)
+            ub2 = jnp.max(dv2.reshape(s_total, nr, rt), axis=2)[..., None]
+        else:
+            ub2 = jnp.full((s_total, nr, 1), jnp.inf, dtype=jnp.float32)
 
         # Active-pair work-list (host-side nonzero of a device bool matrix).
         active = np.asarray(
@@ -392,6 +455,9 @@ class PallasFloodEngine:
                     self.witnesses,
                     centers,
                     radii2,
+                    tile_lo,
+                    tile_hi,
+                    ub2,
                     acc,
                     bs=BS,
                     dim=dim,

@@ -149,7 +149,8 @@ class MeshFloodEngine:
     def order(self, centers: jax.Array) -> jax.Array:
         return jnp.argsort(centers[:, self.mrd])
 
-    def min_distances(self, verts, weights, centers, radii, batch_size):
+    def min_distances(self, verts, weights, centers, radii, batch_size, tight=False):
+        del tight  # pruning hint used by the Pallas engine only
         num_simplices, k, dim = verts.shape
         n_sshards = self.mesh.shape[SIMPLEX_AXIS]
         bsz = max(1, min(int(batch_size), num_simplices))

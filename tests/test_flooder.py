@@ -103,7 +103,7 @@ class _BruteEngine:
 
         return jnp.argsort(centers[:, 0])
 
-    def min_distances(self, verts, weights, centers, radii, batch_size):
+    def min_distances(self, verts, weights, centers, radii, batch_size, tight=False):
         import jax.numpy as jnp
 
         v = np.asarray(verts, dtype=np.float64)

@@ -56,6 +56,19 @@ def test_pallas_2d():
         assert fc_pallas[simplex] == pytest.approx(val, abs=1e-5)
 
 
+def test_pallas_tight_prune_lossless():
+    """With landmarks ⊆ witnesses, the tile upper-bound pruning must not
+    change any filtration value (it provably keeps the ball-argmin)."""
+    X = generate_noisy_torus_points_3d(2000, seed=9)
+    L = generate_landmarks(X, 120, start_idx=0)
+    fc_dense = flood_complex(X, L, points_per_edge=10, use_pallas=False)
+    fc_tight = flood_complex(
+        X, L, points_per_edge=10, use_pallas=True, landmarks_in_cloud=True
+    )
+    for s, v in fc_dense.items():
+        assert fc_tight[s] == pytest.approx(v, abs=1e-5, nan_ok=True)
+
+
 def test_pallas_rejects_float64():
     X = np.random.default_rng(0).random((100, 3))
     with pytest.raises(TypeError):
