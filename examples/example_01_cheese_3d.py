@@ -8,6 +8,12 @@ complex) against Flood PH, summarize with pandas.
 Run with --small for a quick laptop/CI-sized sweep.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
 import argparse
 import time
 

@@ -5,6 +5,12 @@ TPU-native port of the reference harness
 demonstrated configuration, printing the top-10 longest bars per dimension.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
 import argparse
 import time
 

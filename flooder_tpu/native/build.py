@@ -12,7 +12,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import sysconfig
 import threading
 from pathlib import Path
 from typing import Optional
@@ -86,6 +85,3 @@ def load_native() -> Optional[ctypes.CDLL]:
         ]
         _cached = lib
         return lib
-
-
-_ = sysconfig  # reserved for future extension-module builds

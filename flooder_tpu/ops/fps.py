@@ -40,7 +40,6 @@ def farthest_point_sampling(
     Returns:
         (n_samples,) int32 array of indices into ``points``.
     """
-    n = points.shape[0]
     # Accumulate distances in float32 even for low-precision inputs.
     pts = points.astype(jnp.float32) if points.dtype == jnp.bfloat16 else points
     start_idx = jnp.asarray(start_idx, dtype=jnp.int32)
@@ -60,5 +59,4 @@ def farthest_point_sampling(
 
     if n_samples > 1:
         _, idxs = jax.lax.fori_loop(1, n_samples, body, (min_d2, idxs))
-    _ = n  # shape bookkeeping only
     return idxs

@@ -18,7 +18,7 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ._keys import find_rows, lex_order, row_keys, unique_rows
+from ._keys import find_rows, lex_order, row_keys
 from .persistence import reduce_filtration
 
 
