@@ -184,7 +184,13 @@ def generate_landmarks(
     del fps_h
     if start_idx is None:
         start_idx = int(np.random.randint(n_pts))
-    idx = farthest_point_sampling(pts, n_lms, start_idx)
+    if platform_of(pts) == "tpu" and pts.dtype == jnp.float32 and n_lms > 1:
+        # fused on-chip greedy loop (~10x the XLA fori_loop on TPU)
+        from .ops.pallas_fps import pallas_farthest_point_sampling
+
+        idx = pallas_farthest_point_sampling(pts, n_lms, start_idx)
+    else:
+        idx = farthest_point_sampling(pts, n_lms, start_idx)
     return pts[idx]
 
 

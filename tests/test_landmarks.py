@@ -48,3 +48,19 @@ def test_landmark_invalid_count():
     pts = generate_noisy_torus_points_3d(50, seed=3)
     with pytest.raises(RuntimeError):
         generate_landmarks(pts, 0)
+
+
+def test_pallas_fps_matches_xla_on_tpu():
+    """The fused on-chip FPS must select exactly the XLA loop's indices
+    (runs only when a TPU is attached; tests default to CPU)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("requires TPU")
+    from flooder_tpu.ops.fps import farthest_point_sampling
+    from flooder_tpu.ops.pallas_fps import pallas_farthest_point_sampling
+
+    pts = generate_noisy_torus_points_3d(50000, seed=4, device="tpu")
+    a = np.asarray(farthest_point_sampling(pts, 300, 0))
+    b = np.asarray(pallas_farthest_point_sampling(pts, 300, 0))
+    assert (a == b).all()
