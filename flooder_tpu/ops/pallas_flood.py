@@ -156,11 +156,13 @@ def _flood_kernel(
                 ymask = jnp.where(y2 <= r2, yl, jnp.float32(3e18))
 
                 def r_body(r, carry):
-                    # tile-level skip: if this sample tile's guaranteed
-                    # upper bound (distance to its nearest simplex vertex,
-                    # valid when landmarks ⊆ witnesses; +inf otherwise)
-                    # beats the tile-to-subchunk box gap, no witness in
-                    # this sub-chunk can improve any of the tile's minima.
+                    # Tile-level skips (both exact):
+                    # 1. static bound: the tile's distance to its nearest
+                    #    simplex vertex (valid when landmarks ⊆ witnesses;
+                    #    +inf otherwise),
+                    # 2. adaptive branch-and-bound: the tile's current
+                    #    worst running min — a sub-chunk whose box gap
+                    #    exceeds it cannot improve any sample in the tile.
                     tlo = tile_lo_ref[s, pl.ds(r, 1), :]  # (1, dim)
                     thi = tile_hi_ref[s, pl.ds(r, 1), :]  # (1, dim)
                     gap = jnp.maximum(
@@ -168,16 +170,17 @@ def _flood_kernel(
                     )
                     gap2 = jnp.sum(gap * gap, axis=1, keepdims=True)
                     ub2 = ub2_ref[s, pl.ds(r, 1), :]  # (1, 1)
+                    prev = out_ref[s, pl.ds(r, 1), :]  # (1, RT)
+                    bound = jnp.minimum(jnp.max(prev), ub2[0, 0])
 
-                    @pl.when(gap2[0, 0] <= ub2[0, 0])
-                    def _tile(r=r):
+                    @pl.when(gap2[0, 0] <= bound)
+                    def _tile(r=r, prev=prev):
                         x = samples_ref[s, r]  # (dim, RT)
                         d2 = jnp.zeros((sub, rt), dtype=jnp.float32)
                         for i in range(dim):
                             diff = ymask[:, i : i + 1] - x[i : i + 1, :]
                             d2 = d2 + diff * diff
                         cmin = jnp.min(d2, axis=0, keepdims=True)  # (1, RT)
-                        prev = out_ref[s, pl.ds(r, 1), :]  # (1, RT)
                         out_ref[s, pl.ds(r, 1), :] = jnp.minimum(prev, cmin)
 
                     return carry
@@ -282,8 +285,15 @@ def _flood_pairs_call(
 
 @functools.partial(jax.jit, static_argnames=("wchunk", "bs"))
 def _active_pairs_matrix(centers, radii, chunk_lo, chunk_hi, wchunk, bs):
-    """(n_sblocks, n_chunks) bool: does any ball of the simplex block
-    intersect the witness chunk's bounding box?"""
+    """Per (simplex block, witness chunk): does any ball of the block
+    intersect the chunk's bounding box, and how close is the chunk?
+
+    Returns:
+        (active (n_sblocks, n_chunks) bool, dist2 (n_sblocks, n_chunks)):
+        ``dist2`` is the min over the block's centers of the squared
+        center-to-chunk-box distance — used to visit each block's chunks
+        nearest-first so the kernel's adaptive bound tightens immediately.
+    """
     s_total = centers.shape[0]
     n_sblocks = s_total // bs
     c = centers.reshape(n_sblocks, bs, -1)
@@ -293,7 +303,7 @@ def _active_pairs_matrix(centers, radii, chunk_lo, chunk_hi, wchunk, bs):
     )
     d2 = jnp.sum((c[:, :, None, :] - nearest) ** 2, axis=-1)
     hit = d2 <= (r[:, :, None] ** 2)
-    return jnp.any(hit, axis=1)
+    return jnp.any(hit, axis=1), jnp.min(d2, axis=1)
 
 
 class PallasFloodEngine:
@@ -398,15 +408,17 @@ class PallasFloodEngine:
             ub2 = jnp.full((s_total, nr, 1), jnp.inf, dtype=jnp.float32)
 
         # Active-pair work-list (host-side nonzero of a device bool matrix).
-        active = np.asarray(
-            _active_pairs_matrix(
-                centers, radii, self.chunk_lo, self.chunk_hi,
-                self.wchunk, BS,
-            )
+        active_dev, pairdist_dev = _active_pairs_matrix(
+            centers, radii, self.chunk_lo, self.chunk_hi, self.wchunk, BS
         )
+        active = np.asarray(active_dev)
+        pairdist = np.asarray(pairdist_dev)
         pair_s_np, pair_c_np = np.nonzero(active)  # row-major: sorted by s
-        pair_s_np = pair_s_np.astype(np.int32)
-        pair_c_np = pair_c_np.astype(np.int32)
+        # Within each block, visit chunks nearest-first: the kernel's
+        # adaptive branch-and-bound skip tightens after the closest chunk.
+        order = np.lexsort((pairdist[pair_s_np, pair_c_np], pair_s_np))
+        pair_s_np = pair_s_np[order].astype(np.int32)
+        pair_c_np = pair_c_np[order].astype(np.int32)
 
         # Segment the work-list into fixed-size launches: scalar-prefetch
         # operands live in the chip's 1MB SMEM, and a fixed segment length
