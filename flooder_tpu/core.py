@@ -184,7 +184,14 @@ def generate_landmarks(
     del fps_h
     if start_idx is None:
         start_idx = int(np.random.randint(n_pts))
-    if platform_of(pts) == "tpu" and pts.dtype == jnp.float32 and n_lms > 1:
+    from .ops.pallas_fps import fits_pallas_fps
+
+    if (
+        platform_of(pts) == "tpu"
+        and pts.dtype == jnp.float32
+        and n_lms > 1
+        and fits_pallas_fps(n_pts)
+    ):
         # fused on-chip greedy loop (~10x the XLA fori_loop on TPU)
         from .ops.pallas_fps import pallas_farthest_point_sampling
 

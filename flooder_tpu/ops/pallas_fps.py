@@ -25,6 +25,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 FPS_CHUNK = 8192
+# The running min-distance array lives in VMEM: one f32 per point. Clouds
+# beyond this budget fall back to the XLA loop.
+FPS_MAX_POINTS = 3_500_000
+
+
+def fits_pallas_fps(n_points: int) -> bool:
+    return n_points <= FPS_MAX_POINTS
 
 
 def _x32_mode():
