@@ -284,9 +284,17 @@ def _flood_pairs_call(
 
 
 @functools.partial(jax.jit, static_argnames=("wchunk", "bs"))
-def _active_pairs_matrix(centers, radii, chunk_lo, chunk_hi, wchunk, bs):
-    """Per (simplex block, witness chunk): does any ball of the block
-    intersect the chunk's bounding box, and how close is the chunk?
+def _active_pairs_matrix(
+    centers, radii, samp_lo, samp_hi, ub2max, chunk_lo, chunk_hi, wchunk, bs
+):
+    """Per (simplex block, witness chunk): can the chunk matter, and how
+    close is it?
+
+    A chunk is active for a simplex when (a) its bounding box intersects
+    the simplex's ball (the reference's mask semantics) AND (b) its gap to
+    the simplex's sample bounding box does not exceed the simplex's static
+    upper bound on min-distances (+inf unless landmarks ⊆ witnesses; exact
+    — see the kernel's tile-level bound for the argument).
 
     Returns:
         (active (n_sblocks, n_chunks) bool, dist2 (n_sblocks, n_chunks)):
@@ -303,6 +311,15 @@ def _active_pairs_matrix(centers, radii, chunk_lo, chunk_hi, wchunk, bs):
     )
     d2 = jnp.sum((c[:, :, None, :] - nearest) ** 2, axis=-1)
     hit = d2 <= (r[:, :, None] ** 2)
+
+    slo = samp_lo.reshape(n_sblocks, bs, 1, -1)
+    shi = samp_hi.reshape(n_sblocks, bs, 1, -1)
+    gap = jnp.maximum(
+        jnp.maximum(chunk_lo[None, None, :, :] - shi, slo - chunk_hi[None, None, :, :]),
+        0.0,
+    )
+    gap2 = jnp.sum(gap * gap, axis=-1)
+    hit = jnp.logical_and(hit, gap2 <= ub2max.reshape(n_sblocks, bs, 1))
     return jnp.any(hit, axis=1), jnp.min(d2, axis=1)
 
 
@@ -408,8 +425,13 @@ class PallasFloodEngine:
             ub2 = jnp.full((s_total, nr, 1), jnp.inf, dtype=jnp.float32)
 
         # Active-pair work-list (host-side nonzero of a device bool matrix).
+        # Sample bounding boxes in GLOBAL coordinates for the chunk gap test.
+        samp_lo_g = jnp.min(tile_lo, axis=1) + centers  # (S, dim)
+        samp_hi_g = jnp.max(tile_hi, axis=1) + centers
+        ub2max = ub2[:, :, 0].max(axis=1)  # (S,)
         active_dev, pairdist_dev = _active_pairs_matrix(
-            centers, radii, self.chunk_lo, self.chunk_hi, self.wchunk, BS
+            centers, radii, samp_lo_g, samp_hi_g, ub2max,
+            self.chunk_lo, self.chunk_hi, self.wchunk, BS,
         )
         active = np.asarray(active_dev)
         pairdist = np.asarray(pairdist_dev)
