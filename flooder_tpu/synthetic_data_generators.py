@@ -95,9 +95,12 @@ def generate_swiss_cheese_points(
     """Generate points in a box with k non-overlapping spherical voids.
 
     Uniform rejection sampling inside ``[rect_min, rect_max]`` excluding k
-    randomly placed disjoint balls whose radii are drawn from
-    ``void_radius_range`` (reference synthetic_data_generators.py:72-172,
-    same two-phase vectorized rejection scheme).
+    randomly placed balls whose radii are drawn from ``void_radius_range``
+    (reference synthetic_data_generators.py:72-172, same two-phase
+    vectorized rejection scheme). Note (faithful to the reference): void
+    candidates accepted from the same batch are only checked against
+    previously-accepted voids, not against each other, so voids can
+    occasionally overlap and merge into larger cavities.
 
     Args:
         n: Number of points.
