@@ -278,6 +278,13 @@ def flood_complex(
         start_idx: FPS start index (None = random).
         use_triton: deprecated alias for ``use_pallas`` (reference API).
         wchunk: witness chunk length for the device reduction.
+        mesh: optional ``jax.sharding.Mesh`` with ("simplex", "witness")
+            axes; selects the multi-chip engine (takes precedence over
+            ``use_pallas``).
+        landmarks_in_cloud: assert that every landmark is one of ``points``
+            (enables provably-lossless kernel pruning). Auto-True when
+            landmarks are FPS-sampled internally; default False for
+            explicit landmark arrays.
 
     Returns:
         dict mapping simplex tuples to filtration values, or a SimplexTree.

@@ -25,9 +25,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 FPS_CHUNK = 8192
-# The running min-distance array lives in VMEM: one f32 per point. Clouds
-# beyond this budget fall back to the XLA loop.
-FPS_MAX_POINTS = 3_500_000
+# The running min-distance array lives in VMEM (one f32 per point; the
+# chip has ~128MB of VMEM). Clouds beyond this budget fall back to the
+# XLA loop.
+FPS_MAX_POINTS = 24_000_000
 
 
 def fits_pallas_fps(n_points: int) -> bool:
@@ -161,7 +162,12 @@ def _fps_call(pts_t, start_idx, *, n_samples: int, chunk: int):
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n_samples, 1), jnp.int32),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # the min-distance scratch is VMEM-resident (one f32/point);
+            # the default 16MB scoped limit is far below physical VMEM
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
     )(start_idx.reshape(1), pts_t)
     return out[:, 0]
 
