@@ -106,7 +106,8 @@ def _flood_kernel(
     pair_c_ref,  # scalar prefetch: (P,) witness-chunk id per pair
     pair_first_ref,  # scalar prefetch: (P,) 1 if first pair of its block
     samples_ref,  # (BS, NR, dim, RT) ball-local sample coordinates
-    wit_ref,  # (WCHUNK, dim) witness chunk
+    wit_ref,  # (dim, WCHUNK) witness chunk (transposed storage: a
+    #           (W, small-d) HBM buffer would be lane-padded 128/d-fold)
     cent_ref,  # (BS, dim) ball centers
     rad_ref,  # (BS, 1) ball radii
     tile_lo_ref,  # (BS, NR, dim) sample-tile bbox lower corner (ball-local)
@@ -131,9 +132,12 @@ def _flood_kernel(
 
     nr = samples_ref.shape[1]
     rt = samples_ref.shape[3]
+    # one small on-chip transpose per chunk; everything below works on
+    # (SUB, dim) witness tiles
+    y_all = jnp.transpose(wit_ref[:])  # (WCHUNK, dim)
 
     for isub in range(nsub):
-        y = wit_ref[isub * sub : (isub + 1) * sub, :]  # (SUB, dim)
+        y = y_all[isub * sub : (isub + 1) * sub, :]  # (SUB, dim)
         # sub-chunk bounding box (witnesses are Morton-sorted → tight)
         box_lo = jnp.min(y, axis=0, keepdims=True)  # (1, dim)
         box_hi = jnp.max(y, axis=0, keepdims=True)  # (1, dim)
@@ -198,7 +202,7 @@ def _flood_pairs_call(
     pair_c,
     pair_first,
     samples,  # (SB*BS, NR, dim, RT) ball-local
-    witnesses,  # (W, dim)
+    witnesses,  # (dim, W) transposed storage
     centers,  # (SB*BS, dim)
     radii,  # (SB*BS, 1)
     tile_lo,  # (SB*BS, NR, dim)
@@ -232,8 +236,8 @@ def _flood_pairs_call(
                     lambda p, ps, pc, pf: (ps[p], 0, 0, 0),
                 ),
                 pl.BlockSpec(
-                    (wchunk, dim),
-                    lambda p, ps, pc, pf: (pc[p], 0),
+                    (dim, wchunk),
+                    lambda p, ps, pc, pf: (0, pc[p]),
                 ),
                 pl.BlockSpec(
                     (bs, dim),
@@ -352,7 +356,10 @@ class PallasFloodEngine:
             # duplicated witnesses are real points — harmless under min.
             reps = jnp.repeat(pts_sorted[-1:], total - n, axis=0)
             pts_sorted = jnp.concatenate([pts_sorted, reps], axis=0)
-        self.witnesses = pts_sorted
+        # Transposed (dim, W) storage: the kernel's HBM buffer layout pads
+        # the minor dimension to 128 lanes, so (W, small-d) storage would
+        # cost 128/d× its size (20 GB for 40M 2-D points).
+        self.witnesses = jnp.transpose(pts_sorted)
         self._bits = bits
         n_chunks = total // self.wchunk
         chunks = pts_sorted.reshape(n_chunks, self.wchunk, dim)
