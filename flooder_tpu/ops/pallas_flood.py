@@ -136,6 +136,15 @@ def _flood_kernel(
     # (SUB, dim) witness tiles
     y_all = jnp.transpose(wit_ref[:])  # (WCHUNK, dim)
 
+    # Per-simplex adaptive bounds, read ONCE per pair (stale within the
+    # pair — conservative): the worst running min over all of a simplex's
+    # samples. A sub-chunk whose gap to the simplex's sample bbox exceeds
+    # it cannot change anything. Chunks are visited nearest-first, so this
+    # collapses to ~the covering radius after each block's first pair.
+    s_bounds = jnp.max(jnp.max(out_ref[:], axis=2), axis=1)  # (BS,)
+    samp_lo = jnp.min(tile_lo_ref[:], axis=1)  # (BS, dim) ball-local
+    samp_hi = jnp.max(tile_hi_ref[:], axis=1)  # (BS, dim)
+
     for isub in range(nsub):
         y = y_all[isub * sub : (isub + 1) * sub, :]  # (SUB, dim)
         # sub-chunk bounding box (witnesses are Morton-sorted → tight)
@@ -149,8 +158,17 @@ def _flood_kernel(
             # sub-chunk box in ball-local coordinates (for tile gap tests)
             blo = box_lo - c_s
             bhi = box_hi - c_s
+            sgap = jnp.maximum(
+                jnp.maximum(blo - samp_hi[s : s + 1, :],
+                            samp_lo[s : s + 1, :] - bhi),
+                0.0,
+            )
+            sgap2 = jnp.sum(sgap * sgap, axis=1, keepdims=True)
+            admit = jnp.logical_and(
+                near_d2[0, 0] <= r2[0, 0], sgap2[0, 0] <= s_bounds[s]
+            )
 
-            @pl.when(near_d2[0, 0] <= r2[0, 0])
+            @pl.when(admit)
             def _compute(s=s, y=y, c_s=c_s, r2=r2, blo=blo, bhi=bhi):
                 yl = y - c_s  # (SUB, dim) ball-local witnesses
                 y2 = jnp.sum(yl * yl, axis=1, keepdims=True)  # (SUB, 1)
