@@ -467,62 +467,92 @@ class PallasFloodEngine:
         pair_s_np = pair_s_np[order].astype(np.int32)
         pair_c_np = pair_c_np[order].astype(np.int32)
 
-        # Segment the work-list into fixed-size launches: scalar-prefetch
-        # operands live in the chip's 1MB SMEM, and a fixed segment length
-        # keeps the grid (a compile key) stable across clouds. The running
-        # min is carried across launches through an aliased accumulator;
-        # blocks untouched by every segment simply keep their inf init.
-        seg_len = PAIR_SEGMENT
-        if self.interpret:
-            # interpreter: no compile cache to protect — right-size segments
-            seg_len = max(256, 1 << max(0, len(pair_s_np) - 1).bit_length())
-            seg_len = min(seg_len, PAIR_SEGMENT)
-        nseg = max(1, -(-len(pair_s_np) // seg_len))
-        total_pairs = nseg * seg_len
-        if total_pairs != len(pair_s_np):
-            pad = total_pairs - len(pair_s_np)
-            if len(pair_s_np):
-                # repeat the last pair: the min-fold is idempotent
-                pair_s_np = np.concatenate(
-                    [pair_s_np, np.repeat(pair_s_np[-1:], pad)]
-                )
-                pair_c_np = np.concatenate(
-                    [pair_c_np, np.repeat(pair_c_np[-1:], pad)]
-                )
-            else:
-                pair_s_np = np.zeros(pad, dtype=np.int32)
-                pair_c_np = np.zeros(pad, dtype=np.int32)
+        radii2 = radii[:, None]
+
+        def run_pairs(ps_np, pc_np, acc):
+            """Run a (block-major, already-ordered) pair list through the
+            kernel in fixed-size segments. Scalar-prefetch operands live in
+            the chip's 1MB SMEM, and a fixed segment length keeps the grid
+            (a compile key) stable across clouds. The running min is
+            carried across launches through the aliased accumulator;
+            blocks untouched by every segment simply keep their values."""
+            seg_len = PAIR_SEGMENT
+            if self.interpret:
+                # interpreter: no compile cache to protect — right-size
+                seg_len = max(256, 1 << max(0, len(ps_np) - 1).bit_length())
+                seg_len = min(seg_len, PAIR_SEGMENT)
+            nseg = max(1, -(-len(ps_np) // seg_len))
+            total_pairs = nseg * seg_len
+            if total_pairs != len(ps_np):
+                pad = total_pairs - len(ps_np)
+                if len(ps_np):
+                    # repeat the last pair: the min-fold is idempotent
+                    ps_np = np.concatenate([ps_np, np.repeat(ps_np[-1:], pad)])
+                    pc_np = np.concatenate([pc_np, np.repeat(pc_np[-1:], pad)])
+                else:
+                    ps_np = np.zeros(pad, dtype=np.int32)
+                    pc_np = np.zeros(pad, dtype=np.int32)
+            # Mosaic rejects int64 index arithmetic; trace the kernel in
+            # x32 mode regardless of the process-wide x64 setting.
+            with _x32_mode():
+                for g in range(nseg):
+                    sl = slice(g * seg_len, (g + 1) * seg_len)
+                    seg_s = ps_np[sl]
+                    seg_c = pc_np[sl]
+                    seg_first = np.concatenate(
+                        [[1], (seg_s[1:] != seg_s[:-1]).astype(np.int32)]
+                    ).astype(np.int32)
+                    acc = _flood_pairs_call(
+                        jnp.asarray(seg_s),
+                        jnp.asarray(seg_c),
+                        jnp.asarray(seg_first),
+                        samples,
+                        self.witnesses,
+                        centers,
+                        radii2,
+                        tile_lo,
+                        tile_hi,
+                        ub2,
+                        acc,
+                        bs=BS,
+                        dim=dim,
+                        nsub=WCHUNK // SUB,
+                        sub=SUB,
+                        interpret=self.interpret,
+                    )
+            return acc
 
         acc = jnp.full((s_total, nr, rt), jnp.inf, dtype=jnp.float32)
-        radii2 = radii[:, None]
-        # Mosaic rejects int64 index arithmetic; trace the kernel in x32
-        # mode regardless of the process-wide x64 setting (the whole
-        # engine path is float32/int32).
-        with _x32_mode():
-            for g in range(nseg):
-                sl = slice(g * seg_len, (g + 1) * seg_len)
-                seg_s = pair_s_np[sl]
-                seg_c = pair_c_np[sl]
-                seg_first = np.concatenate(
-                    [[1], (seg_s[1:] != seg_s[:-1]).astype(np.int32)]
-                ).astype(np.int32)
-                acc = _flood_pairs_call(
-                    jnp.asarray(seg_s),
-                    jnp.asarray(seg_c),
-                    jnp.asarray(seg_first),
-                    samples,
-                    self.witnesses,
-                    centers,
-                    radii2,
-                    tile_lo,
-                    tile_hi,
-                    ub2,
-                    acc,
-                    bs=BS,
-                    dim=dim,
-                    nsub=WCHUNK // SUB,
-                    sub=SUB,
-                    interpret=self.interpret,
-                )
+
+        # Experimental two-phase branch-and-bound (FLOODER_PALLAS_PHASE1=k):
+        # run each block's k nearest chunks, read back the realized
+        # per-simplex bounds, re-filter the remaining pairs with them
+        # (exact). Measured slower than the in-kernel adaptive skip at 1M
+        # (the host sync + padded phase-1 segment outweigh the savings),
+        # so it is off by default.
+        phase1_k = int(_os.environ.get("FLOODER_PALLAS_PHASE1", 0))
+        if (
+            phase1_k > 0
+            and not self.interpret
+            and len(pair_s_np) >= 4 * PAIR_SEGMENT
+        ):
+            first_pos = np.concatenate(
+                [[0], np.flatnonzero(np.diff(pair_s_np)) + 1]
+            )
+            counts = np.diff(np.concatenate([first_pos, [len(pair_s_np)]]))
+            ranks = np.arange(len(pair_s_np)) - np.repeat(first_pos, counts)
+            near = ranks < phase1_k
+            acc = run_pairs(pair_s_np[near], pair_c_np[near], acc)
+            bounds = jnp.max(jnp.max(acc, axis=2), axis=1)  # (S,)
+            active2, _ = _active_pairs_matrix(
+                centers, radii, samp_lo_g, samp_hi_g,
+                jnp.minimum(ub2max, bounds),
+                self.chunk_lo, self.chunk_hi, self.wchunk, BS,
+            )
+            keep = np.asarray(active2)[pair_s_np, pair_c_np] & ~near
+            acc = run_pairs(pair_s_np[keep], pair_c_np[keep], acc)
+        else:
+            acc = run_pairs(pair_s_np, pair_c_np, acc)
+
         out = acc.reshape(s_total, r2_total)
         return jnp.sqrt(out[:num_simplices, :r_count])
