@@ -40,18 +40,20 @@ def make_mesh(
 
     Args:
         devices: devices to use (default: all).
-        simplex_parallel: size of the simplex (data-parallel) axis; the
-            witness axis gets the remaining factor. Default: all devices on
-            the simplex axis (no collectives needed).
+        simplex_parallel: requested size of the simplex (data-parallel)
+            axis; the witness axis gets the remaining factor. Clamped to
+            the largest divisor of the device count that is <= the request
+            (so odd device counts and over-asks degrade gracefully instead
+            of raising). Default: all devices on the simplex axis (no
+            collectives needed).
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if simplex_parallel is None:
         simplex_parallel = n
-    if n % simplex_parallel != 0:
-        raise ValueError(
-            f"simplex_parallel ({simplex_parallel}) must divide device count ({n})"
-        )
+    simplex_parallel = max(1, min(int(simplex_parallel), n))
+    while n % simplex_parallel != 0:
+        simplex_parallel -= 1
     arr = np.asarray(devices).reshape(simplex_parallel, n // simplex_parallel)
     return Mesh(arr, (SIMPLEX_AXIS, WITNESS_AXIS))
 

@@ -17,8 +17,11 @@ def test_mesh_shapes():
     assert mesh.shape["simplex"] == 8
     mesh2 = make_mesh(simplex_parallel=4)
     assert mesh2.shape["simplex"] == 4 and mesh2.shape["witness"] == 2
-    with pytest.raises(ValueError):
-        make_mesh(simplex_parallel=3)
+    # non-divisors clamp to the largest divisor <= request (8 devices: 3→2)
+    mesh3 = make_mesh(simplex_parallel=3)
+    assert mesh3.shape["simplex"] == 2 and mesh3.shape["witness"] == 4
+    mesh4 = make_mesh(simplex_parallel=100)
+    assert mesh4.shape["simplex"] == 8 and mesh4.shape["witness"] == 1
 
 
 @pytest.mark.parametrize("simplex_parallel", [8, 4, 2])
