@@ -300,6 +300,16 @@ def dump_stats_json(steps: List[StepStats], out_path: Optional[str]) -> None:
 
 
 def main() -> None:
+    """Console entry point; wraps the pipeline so the installed ``flooder``
+    script gets the red error banner too (not only ``python -m``)."""
+    try:
+        _run()
+    except Exception as e:
+        console.print(f"[red]Error:[/red] {e}")
+        raise
+
+
+def _run() -> None:
     parser = setup_cmdline_parsing()
     args = parser.parse_args()
     if args.verbose:
@@ -382,8 +392,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    try:
-        main()
-    except Exception as e:
-        console.print(f"[red]Error:[/red] {e}")
-        raise
+    main()

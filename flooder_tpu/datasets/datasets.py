@@ -265,7 +265,13 @@ class FlooderDataset(BaseDataset):
             dctx = zstd.ZstdDecompressor()
             with dctx.stream_reader(f) as reader:
                 with tarfile.open(fileobj=reader, mode="r|") as tar:
-                    tar.extractall(path=self.raw_dir, filter="data")
+                    # the "data" extraction filter only exists on
+                    # Python >= 3.12 (backported to 3.11.4/3.10.12);
+                    # guard like the reference (ref datasets.py:562-591)
+                    if hasattr(tarfile, "data_filter"):
+                        tar.extractall(path=self.raw_dir, filter="data")
+                    else:
+                        tar.extractall(path=self.raw_dir)  # noqa: S202
 
     def process_file(self, file: Path, ydata: dict):
         raise NotImplementedError

@@ -68,6 +68,37 @@ def test_landmarks_exceed_points_in_ball_masks():
     assert all(np.isfinite(v) for v in fc.values())
 
 
+def test_shared_face_min_combine_order_independent():
+    """Documented deviation from the reference (ref core.py:251-268): a
+    face shared by several top-simplices gets the **min** over the
+    per-coface ball-restricted estimates, not the iteration-order last
+    writer. Min-combination makes grid-mode values independent of simplex
+    labeling/order — pin that by relabeling the landmarks and checking the
+    relabeled complex carries identical filtrations."""
+    rng = np.random.default_rng(7)
+    pts = rng.random((1500, 3)).astype(np.float32)
+    from flooder_tpu import generate_landmarks
+
+    lms = np.asarray(generate_landmarks(pts, 40, start_idx=0))
+    perm = rng.permutation(len(lms))
+
+    fc_a = flood_complex(pts, lms, points_per_edge=6)
+    fc_b = flood_complex(pts, lms[perm], points_per_edge=6)
+
+    # index i into lms[perm] is original landmark perm[i]
+    fc_b_mapped = {
+        tuple(int(i) for i in sorted(perm[list(s)])): v
+        for s, v in fc_b.items()
+    }
+    assert set(fc_a) == set(fc_b_mapped)
+    shared = 0
+    for s, v in fc_a.items():
+        assert fc_b_mapped[s] == pytest.approx(v, abs=2e-6, nan_ok=True)
+        if len(s) == 3:
+            shared += 1
+    assert shared > 50  # plenty of shared triangles exercised
+
+
 def test_pallas_4d_interpret():
     rng = np.random.default_rng(5)
     pts = rng.random((2000, 4)).astype(np.float32)
