@@ -237,6 +237,24 @@ def _face_max_fn(points_per_edge: int, dim: int, codim: int):
     return fn
 
 
+@lru_cache(maxsize=64)
+def _all_face_max_fn(points_per_edge: int, dim: int):
+    """Jitted per-face max for EVERY codimension in one dispatch (one
+    device sync instead of one per codim; the face index tables are baked
+    in as constants)."""
+    _, _, face_idxs = _grid_host(points_per_edge, dim)
+    tables = [np.asarray(f, dtype=np.int32) for f in face_idxs]
+
+    @jax.jit
+    def fn(dists):
+        return tuple(
+            jnp.max(jnp.take(dists, jnp.asarray(t), axis=1), axis=-1)
+            for t in tables
+        )
+
+    return fn
+
+
 def flood_complex(
     points,
     landmarks: Union[int, jax.Array],
@@ -330,15 +348,13 @@ def flood_complex(
     if use_pallas is None:
         use_pallas = platform == "tpu" and dtype == jnp.float32
 
-    # Host combinatorics: Delaunay triangulation of the landmarks.
-    lms_host = np.asarray(landmarks, dtype=np.float64)
-    stree = DelaunayComplex(lms_host).create_simplex_tree()
-    levels = stree._verts  # columnar access within the package
-
     n_pts = points.shape[0]
     if wchunk is None:
         wchunk = _auto_wchunk(n_pts)
 
+    # Construct the engine BEFORE the host-side Delaunay: engine init
+    # enqueues device work (Morton sort of the witnesses) that then runs
+    # concurrently with the CPU triangulation.
     if _engine_override is not None:
         engine = _engine_override(points, wchunk)
     elif mesh is not None:
@@ -351,6 +367,11 @@ def flood_complex(
         engine = PallasFloodEngine(points, wchunk)
     else:
         engine = DenseFloodEngine(points, wchunk)
+
+    # Host combinatorics: Delaunay triangulation of the landmarks.
+    lms_host = np.asarray(landmarks, dtype=np.float64)
+    stree = DelaunayComplex(lms_host).create_simplex_tree()
+    levels = stree._verts  # columnar access within the package
 
     for d in range(max_dimension + 1):
         # Grid mode derives face filtrations from top-dimension simplices
@@ -399,9 +420,10 @@ def flood_complex(
             # with **min** — order-independent (deterministic across
             # dtypes/backends) and the tightest of the ball-restricted
             # estimates of the true covering radius.
+            fn = _all_face_max_fn(points_per_edge, max_dimension)
+            fvals_all = jax.device_get(fn(distances))  # one sync, all codims
             for codim, vertex_idx in enumerate(vertex_idxs):
-                fn = _face_max_fn(points_per_edge, max_dimension, codim)
-                fvals_host = np.asarray(fn(distances))  # (S, F)
+                fvals_host = fvals_all[codim]  # (S, F)
                 faces = simplices_sorted[:, vertex_idx]  # (S, F, dim+1-codim)
                 face_dim = max_dimension - codim
                 uniq_faces, min_vals = _min_combine_faces(

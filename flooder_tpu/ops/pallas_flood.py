@@ -332,7 +332,9 @@ def _active_pairs_matrix(
         c[:, :, None, :], chunk_lo[None, None, :, :], chunk_hi[None, None, :, :]
     )
     d2 = jnp.sum((c[:, :, None, :] - nearest) ** 2, axis=-1)
-    hit = d2 <= (r[:, :, None] ** 2)
+    # strict exclusion of zero-radius padding simplices (real radii carry
+    # a +1e-3 slack, so no real ball has radius 0)
+    hit = jnp.logical_and(d2 <= (r[:, :, None] ** 2), r[:, :, None] > 0)
 
     slo = samp_lo.reshape(n_sblocks, bs, 1, -1)
     shi = samp_hi.reshape(n_sblocks, bs, 1, -1)
@@ -343,6 +345,84 @@ def _active_pairs_matrix(
     gap2 = jnp.sum(gap * gap, axis=-1)
     hit = jnp.logical_and(hit, gap2 <= ub2max.reshape(n_sblocks, bs, 1))
     return jnp.any(hit, axis=1), jnp.min(d2, axis=1)
+
+
+def _sample_morton_order(weights_np: np.ndarray) -> np.ndarray:
+    """Morton order of barycentric sample rows.
+
+    Sample tiles are contiguous runs of RT rows; Morton-sorting the rows
+    makes every tile a spatially tight patch of the simplex (for *any*
+    simplex — the weight→point map is affine), which tightens the kernel's
+    per-tile bounding boxes and static bounds and lets it skip more work.
+    The engine inverse-permutes its output columns, so callers see the
+    original row order.
+    """
+    k = weights_np.shape[1]
+    bits = max(1, min(10, 24 // max(1, k)))
+    q = np.clip(
+        (weights_np * (2**bits - 1)).astype(np.int64), 0, 2**bits - 1
+    )
+    code = np.zeros(len(weights_np), dtype=np.int64)
+    for b in range(bits):
+        for ax in range(k):
+            code |= ((q[:, ax] >> b) & 1) << (b * k + ax)
+    return np.argsort(code, kind="stable").astype(np.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bs", "nr", "rt", "tight", "wchunk")
+)
+def _prep(
+    verts_local,  # (S, k, dim) ball-local vertex coordinates
+    weights_p,  # (R2, k) padded, Morton-ordered sample weights
+    centers,  # (S, dim)
+    radii,  # (S,)
+    chunk_lo,  # (n_chunks, dim)
+    chunk_hi,  # (n_chunks, dim)
+    *,
+    bs: int,
+    nr: int,
+    rt: int,
+    tight: bool,
+    wchunk: int,
+):
+    """One fused dispatch for all kernel-operand preparation.
+
+    Produces the sample tiles, per-tile bounding boxes, static upper
+    bounds, and the active-pair matrix in a single XLA program (the
+    round-1 version dispatched ~a dozen eager ops here, ~0.2-0.4 s of
+    non-kernel tail at 1M points).
+    """
+    s_total, k, dim = verts_local.shape
+    samples_flat = jnp.einsum(
+        "rk,skd->srd",
+        weights_p,
+        verts_local,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (S, R2, dim) ball-local
+    samples_t = samples_flat.reshape(s_total, nr, rt, dim)
+    samples = jnp.transpose(samples_t, (0, 1, 3, 2))  # (S, NR, dim, RT)
+
+    tile_lo = jnp.min(samples_t, axis=2)  # (S, NR, dim)
+    tile_hi = jnp.max(samples_t, axis=2)
+    if tight:
+        dv2 = None
+        for j in range(k):
+            dj = samples_flat - verts_local[:, j : j + 1, :]
+            dj2 = jnp.sum(dj * dj, axis=-1)  # (S, R2)
+            dv2 = dj2 if dv2 is None else jnp.minimum(dv2, dj2)
+        ub2 = jnp.max(dv2.reshape(s_total, nr, rt), axis=2)[..., None]
+    else:
+        ub2 = jnp.full((s_total, nr, 1), jnp.inf, dtype=jnp.float32)
+
+    samp_lo_g = jnp.min(tile_lo, axis=1) + centers  # (S, dim) global
+    samp_hi_g = jnp.max(tile_hi, axis=1) + centers
+    ub2max = ub2[:, :, 0].max(axis=1)  # (S,)
+    active, pairdist = _active_pairs_matrix(
+        centers, radii, samp_lo_g, samp_hi_g, ub2max,
+        chunk_lo, chunk_hi, wchunk, bs,
+    )
+    return samples, tile_lo, tile_hi, ub2, active, pairdist
 
 
 class PallasFloodEngine:
@@ -368,24 +448,55 @@ class PallasFloodEngine:
         order = jnp.argsort(codes)
         pts_sorted = points[order]
         total = _round_up(max(n, self.wchunk), self.wchunk)
+        # Bucket the chunk count to a power of two: the witness array shape
+        # is a kernel compile key, so bucketing lets differently-sized
+        # clouds reuse compiled kernels (the cold-compile cliff fix).
+        n_chunks = 1 << max(0, (total // self.wchunk) - 1).bit_length()
+        total = n_chunks * self.wchunk
         if total != n:
-            # Pad by repeating the last witness: keeps chunk bounding boxes
-            # tight (an inf pad would blow up the last chunk's box). The
-            # duplicated witnesses are real points — harmless under min.
-            reps = jnp.repeat(pts_sorted[-1:], total - n, axis=0)
-            pts_sorted = jnp.concatenate([pts_sorted, reps], axis=0)
+            # The last partial chunk is padded by repeating the last
+            # witness (keeps its bounding box tight; duplicates are
+            # harmless under min). Whole bucket-padding chunks are filled
+            # with a far-away coordinate so they intersect no ball and
+            # never enter the work-list.
+            n_tail = _round_up(n, self.wchunk) - n
+            parts = [pts_sorted]
+            if n_tail:
+                parts.append(jnp.repeat(pts_sorted[-1:], n_tail, axis=0))
+            n_far = total - n - n_tail
+            if n_far:
+                # NOTE: must differ from the simplex-padding coordinate
+                # (+8e14): padded simplices are zero-radius balls AT their
+                # own coordinate, so a far-chunk at the same spot would
+                # self-admit and burn full tile loops on garbage.
+                parts.append(
+                    jnp.full((n_far, dim), -8.0e14, dtype=points.dtype)
+                )
+            pts_sorted = jnp.concatenate(parts, axis=0)
         # Transposed (dim, W) storage: the kernel's HBM buffer layout pads
         # the minor dimension to 128 lanes, so (W, small-d) storage would
         # cost 128/d× its size (20 GB for 40M 2-D points).
         self.witnesses = jnp.transpose(pts_sorted)
         self._bits = bits
-        n_chunks = total // self.wchunk
         chunks = pts_sorted.reshape(n_chunks, self.wchunk, dim)
         self.chunk_lo = jnp.min(chunks, axis=1)
         self.chunk_hi = jnp.max(chunks, axis=1)
 
-    def order(self, centers: jax.Array) -> jax.Array:
-        return jnp.argsort(morton_codes(centers, self._bits))
+    def order(self, centers: jax.Array) -> np.ndarray:
+        """Morton processing order of the simplices (host numpy: the
+        centers are small and a device sort costs more in dispatch latency
+        than the whole computation on host)."""
+        c = np.asarray(centers)
+        bits = self._bits
+        lo = c.min(axis=0)
+        extent = np.maximum(c.max(axis=0) - lo, 1e-30)
+        q = ((c - lo) / extent * (2**bits - 1e-3)).astype(np.int64)
+        q = np.clip(q, 0, 2**bits - 1)
+        code = np.zeros(len(c), dtype=np.int64)
+        for b in range(bits):
+            for ax in range(c.shape[1]):
+                code |= ((q[:, ax] >> b) & 1) << (b * c.shape[1] + ax)
+        return np.argsort(code, kind="stable")
 
     def min_distances(
         self, verts, weights, centers, radii, batch_size, tight=False
@@ -415,51 +526,34 @@ class PallasFloodEngine:
             )
             radii = jnp.concatenate([radii, jnp.zeros((pad_n,), radii.dtype)])
 
-        # Ball-local samples, laid out (S, NR, dim, RT): lanes carry the
-        # sample tile, the r-tile axis is walked inside the kernel.
-        weights_p = jnp.zeros((r2_total, k), weights.dtype).at[:r_count].set(
-            weights
-        )
+        # Morton-order the sample rows (host: weights are small) so every
+        # RT-tile is a spatially tight patch — tighter tile boxes/bounds,
+        # more kernel skips (see _sample_morton_order). Padding repeats the
+        # last row (keeps the final tile's box tight; duplicate samples are
+        # harmless under min). Output columns are inverse-permuted below.
+        weights_np = np.asarray(weights, dtype=np.float32)
+        sperm = _sample_morton_order(weights_np)
+        weights_sorted = weights_np[sperm]
+        if r2_total != r_count:
+            weights_sorted = np.concatenate(
+                [weights_sorted,
+                 np.repeat(weights_sorted[-1:], r2_total - r_count, axis=0)]
+            )
+        weights_p = jnp.asarray(weights_sorted)
         verts_local = verts - centers[:, None, :]
-        samples_flat = jnp.einsum(
-            "rk,skd->srd",
-            weights_p,
-            verts_local,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (S, R2, dim)
-        samples_t = samples_flat.reshape(s_total, nr, rt, dim)
-        samples = jnp.transpose(samples_t, (0, 1, 3, 2))  # (S, NR, dim, RT)
 
-        # Per-(simplex, sample-tile) bbox + guaranteed upper bound on the
-        # tile's min distances. When the landmarks are a subset of the
-        # witness cloud (``tight``), every sample's min distance is bounded
-        # by its distance to the nearest simplex vertex, which lets the
-        # kernel skip witness sub-chunks whose box gap exceeds the bound —
-        # provably without changing the ball-masked result. Otherwise the
-        # bound is +inf (no tile skipping).
-        tile_lo = jnp.min(samples_t, axis=2)  # (S, NR, dim) ball-local
-        tile_hi = jnp.max(samples_t, axis=2)
-        if tight:
-            dv2 = None
-            for j in range(k):
-                dj = samples_flat - verts_local[:, j : j + 1, :]
-                dj2 = jnp.sum(dj * dj, axis=-1)  # (S, R2)
-                dv2 = dj2 if dv2 is None else jnp.minimum(dv2, dj2)
-            ub2 = jnp.max(dv2.reshape(s_total, nr, rt), axis=2)[..., None]
-        else:
-            ub2 = jnp.full((s_total, nr, 1), jnp.inf, dtype=jnp.float32)
-
-        # Active-pair work-list (host-side nonzero of a device bool matrix).
-        # Sample bounding boxes in GLOBAL coordinates for the chunk gap test.
-        samp_lo_g = jnp.min(tile_lo, axis=1) + centers  # (S, dim)
-        samp_hi_g = jnp.max(tile_hi, axis=1) + centers
-        ub2max = ub2[:, :, 0].max(axis=1)  # (S,)
-        active_dev, pairdist_dev = _active_pairs_matrix(
-            centers, radii, samp_lo_g, samp_hi_g, ub2max,
-            self.chunk_lo, self.chunk_hi, self.wchunk, BS,
+        # All kernel-operand prep — ball-local sample tiles laid out
+        # (S, NR, dim, RT), per-tile bounding boxes, static upper bounds
+        # (``tight``: every sample's min distance is bounded by its
+        # distance to the nearest simplex vertex when landmarks ⊆
+        # witnesses — provably lossless skipping), and the active-pair
+        # matrix — in ONE fused dispatch, then a single host transfer.
+        samples, tile_lo, tile_hi, ub2, active_dev, pairdist_dev = _prep(
+            verts_local, weights_p, centers, radii,
+            self.chunk_lo, self.chunk_hi,
+            bs=BS, nr=nr, rt=rt, tight=tight, wchunk=self.wchunk,
         )
-        active = np.asarray(active_dev)
-        pairdist = np.asarray(pairdist_dev)
+        active, pairdist = jax.device_get((active_dev, pairdist_dev))
         pair_s_np, pair_c_np = np.nonzero(active)  # row-major: sorted by s
         # Within each block, visit chunks nearest-first: the kernel's
         # adaptive branch-and-bound skip tightens after the closest chunk.
@@ -523,36 +617,15 @@ class PallasFloodEngine:
             return acc
 
         acc = jnp.full((s_total, nr, rt), jnp.inf, dtype=jnp.float32)
+        # (A two-phase bound-refresh variant — run nearest chunks, read
+        # back realized bounds, re-filter the rest — was measured slower
+        # than the in-kernel adaptive skip in both round-1 and round-2
+        # experiments: the host sync and padded phase-1 segment outweigh
+        # the savings. The in-kernel nearest-first adaptive bound stays.)
+        acc = run_pairs(pair_s_np, pair_c_np, acc)
 
-        # Experimental two-phase branch-and-bound (FLOODER_PALLAS_PHASE1=k):
-        # run each block's k nearest chunks, read back the realized
-        # per-simplex bounds, re-filter the remaining pairs with them
-        # (exact). Measured slower than the in-kernel adaptive skip at 1M
-        # (the host sync + padded phase-1 segment outweigh the savings),
-        # so it is off by default.
-        phase1_k = int(_os.environ.get("FLOODER_PALLAS_PHASE1", 0))
-        if (
-            phase1_k > 0
-            and not self.interpret
-            and len(pair_s_np) >= 4 * PAIR_SEGMENT
-        ):
-            first_pos = np.concatenate(
-                [[0], np.flatnonzero(np.diff(pair_s_np)) + 1]
-            )
-            counts = np.diff(np.concatenate([first_pos, [len(pair_s_np)]]))
-            ranks = np.arange(len(pair_s_np)) - np.repeat(first_pos, counts)
-            near = ranks < phase1_k
-            acc = run_pairs(pair_s_np[near], pair_c_np[near], acc)
-            bounds = jnp.max(jnp.max(acc, axis=2), axis=1)  # (S,)
-            active2, _ = _active_pairs_matrix(
-                centers, radii, samp_lo_g, samp_hi_g,
-                jnp.minimum(ub2max, bounds),
-                self.chunk_lo, self.chunk_hi, self.wchunk, BS,
-            )
-            keep = np.asarray(active2)[pair_s_np, pair_c_np] & ~near
-            acc = run_pairs(pair_s_np[keep], pair_c_np[keep], acc)
-        else:
-            acc = run_pairs(pair_s_np, pair_c_np, acc)
-
-        out = acc.reshape(s_total, r2_total)
-        return jnp.sqrt(out[:num_simplices, :r_count])
+        out = acc.reshape(s_total, r2_total)[:num_simplices]
+        # Undo the Morton sample permutation: column i holds original
+        # sample sperm[i].
+        inv = np.argsort(sperm)
+        return jnp.sqrt(out[:, jnp.asarray(inv)])
