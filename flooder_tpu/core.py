@@ -358,9 +358,16 @@ def flood_complex(
     if _engine_override is not None:
         engine = _engine_override(points, wchunk)
     elif mesh is not None:
-        from .parallel.sharding import MeshFloodEngine
+        if use_pallas or (
+            use_pallas is None and platform == "tpu" and dtype == jnp.float32
+        ):
+            from .parallel.sharding import MeshPallasFloodEngine
 
-        engine = MeshFloodEngine(points, wchunk, mesh)
+            engine = MeshPallasFloodEngine(points, wchunk, mesh)
+        else:
+            from .parallel.sharding import MeshFloodEngine
+
+            engine = MeshFloodEngine(points, wchunk, mesh)
     elif use_pallas:
         from .ops.pallas_flood import PallasFloodEngine
 

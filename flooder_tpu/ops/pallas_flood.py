@@ -176,6 +176,7 @@ def _flood_kernel(
     ub2_ref,  # (BS, NR, 1) squared upper bound on each tile's min-distance
     acc_ref,  # (BS, NR, RT) accumulator carried across launches (aliased)
     out_ref,  # (BS, NR, RT) running min of squared distances
+    tile_ok_ref,  # scratch (NR, 1) int32: per-tile admission bits
     *,
     bs: int,
     dim: int,
@@ -231,44 +232,59 @@ def _flood_kernel(
 
             @pl.when(admit)
             def _compute(s=s, y=y, c_s=c_s, r2=r2, blo=blo, bhi=bhi):
-                yl = y - c_s  # (SUB, dim) ball-local witnesses
-                y2 = jnp.sum(yl * yl, axis=1, keepdims=True)  # (SUB, 1)
-                # Mask by moving rejected witnesses far away: (big − x)²
-                # saturates and drops out of the min — no per-element
-                # select.
-                ymask = jnp.where(y2 <= r2, yl, jnp.float32(3e18))
+                # Tile-level skips, vectorized over ALL tiles at once
+                # (both exact):
+                # 1. static bound: the tile's distance to its nearest
+                #    simplex vertex (valid when landmarks ⊆ witnesses;
+                #    +inf otherwise),
+                # 2. adaptive branch-and-bound: the tile's current worst
+                #    running min — a sub-chunk whose box gap exceeds it
+                #    cannot improve any sample in the tile.
+                # Computing the (NR,) admission vector up front replaces
+                # NR serialized (1, dim) gap ops + (1, RT) reads per
+                # sub-chunk and lets the witness-mask computation below
+                # run only when at least one tile needs it — the per-
+                # sub-chunk fixed overhead used to rival the tile
+                # arithmetic itself.
+                tlo = tile_lo_ref[s]  # (NR, dim)
+                thi = tile_hi_ref[s]  # (NR, dim)
+                gap = jnp.maximum(jnp.maximum(blo - thi, tlo - bhi), 0.0)
+                gap2 = jnp.sum(gap * gap, axis=1, keepdims=True)  # (NR, 1)
+                pm = jnp.max(out_ref[s], axis=1, keepdims=True)  # (NR, 1)
+                bound = jnp.minimum(pm, ub2_ref[s])  # (NR, 1)
+                # int32 bits staged through scratch: the tile loop below
+                # reads them back per-r via a ref dynamic slice (scalar
+                # extraction of a traced-index vector element can't lower)
+                tile_ok_ref[:] = (gap2 <= bound).astype(jnp.int32)
 
-                def r_body(r, carry):
-                    # Tile-level skips (both exact):
-                    # 1. static bound: the tile's distance to its nearest
-                    #    simplex vertex (valid when landmarks ⊆ witnesses;
-                    #    +inf otherwise),
-                    # 2. adaptive branch-and-bound: the tile's current
-                    #    worst running min — a sub-chunk whose box gap
-                    #    exceeds it cannot improve any sample in the tile.
-                    tlo = tile_lo_ref[s, pl.ds(r, 1), :]  # (1, dim)
-                    thi = tile_hi_ref[s, pl.ds(r, 1), :]  # (1, dim)
-                    gap = jnp.maximum(
-                        jnp.maximum(blo - thi, tlo - bhi), 0.0
-                    )
-                    gap2 = jnp.sum(gap * gap, axis=1, keepdims=True)
-                    ub2 = ub2_ref[s, pl.ds(r, 1), :]  # (1, 1)
-                    prev = out_ref[s, pl.ds(r, 1), :]  # (1, RT)
-                    bound = jnp.minimum(jnp.max(prev), ub2[0, 0])
+                @pl.when(jnp.max(tile_ok_ref[:]) == 1)
+                def _tiles():
+                    yl = y - c_s  # (SUB, dim) ball-local witnesses
+                    y2 = jnp.sum(yl * yl, axis=1, keepdims=True)  # (SUB, 1)
+                    # Mask by moving rejected witnesses far away:
+                    # (big − x)² saturates and drops out of the min — no
+                    # per-element select.
+                    ymask = jnp.where(y2 <= r2, yl, jnp.float32(3e18))
 
-                    @pl.when(gap2[0, 0] <= bound)
-                    def _tile(r=r, prev=prev):
-                        x = samples_ref[s, r]  # (dim, RT)
-                        d2 = jnp.zeros((sub, rt), dtype=jnp.float32)
-                        for i in range(dim):
-                            diff = ymask[:, i : i + 1] - x[i : i + 1, :]
-                            d2 = d2 + diff * diff
-                        cmin = jnp.min(d2, axis=0, keepdims=True)  # (1, RT)
-                        out_ref[s, pl.ds(r, 1), :] = jnp.minimum(prev, cmin)
+                    def r_body(r, carry):
+                        ok = tile_ok_ref[pl.ds(r, 1), :]  # (1, 1)
 
-                    return carry
+                        @pl.when(ok[0, 0] == 1)
+                        def _tile(r=r):
+                            prev = out_ref[s, pl.ds(r, 1), :]  # (1, RT)
+                            x = samples_ref[s, r]  # (dim, RT)
+                            d2 = jnp.zeros((sub, rt), dtype=jnp.float32)
+                            for i in range(dim):
+                                diff = ymask[:, i : i + 1] - x[i : i + 1, :]
+                                d2 = d2 + diff * diff
+                            cmin = jnp.min(d2, axis=0, keepdims=True)
+                            out_ref[s, pl.ds(r, 1), :] = jnp.minimum(
+                                prev, cmin
+                            )
 
-                jax.lax.fori_loop(0, nr, r_body, 0)
+                        return carry
+
+                    jax.lax.fori_loop(0, nr, r_body, 0)
 
 
 @functools.partial(
@@ -347,6 +363,7 @@ def _flood_pairs_call(
                 (bs, nr, rt),
                 lambda p, ps, pc, pf: (ps[p], 0, 0),
             ),
+            scratch_shapes=[pltpu.VMEM((nr, 1), jnp.int32)],
         ),
         out_shape=jax.ShapeDtypeStruct(acc.shape, jnp.float32),
         # alias the accumulator input onto the output: untouched blocks

@@ -5,13 +5,23 @@ per landmark on TPU — 2000 landmarks cost ~1.6 s against ~50 ms of actual
 memory traffic. This kernel runs the WHOLE greedy loop on-chip:
 
 - the running min-squared-distance array stays resident in VMEM,
-- points stream through double-buffered (d, CHUNK) tiles from HBM,
-- per chunk, one fused pass updates the min-distances and tracks the
-  global argmax (next landmark) in scalar registers,
-- the selected landmark's coordinates are fetched with a single tiny DMA.
+- the cloud is **Hilbert-sorted** so every (d, CHUNK) tile of the point
+  stream is a spatially tight box,
+- each greedy sweep folds the new landmark into the running min-distances
+  **only for chunks the landmark can actually lower**: a chunk whose
+  bounding-box distance to the landmark is at least its current max
+  min-distance cannot change (min(m, d) = m when d ≥ m for every member),
+  so the sweep skips its DMA and arithmetic entirely. Per-chunk running
+  max / argmax live in VMEM and stay valid across skipped sweeps. After
+  the first few sweeps a landmark touches only the handful of chunks
+  around it, turning the O(L·N) restream into ~O(N + L · ball(N/L)).
+- the global argmax (next landmark) is reduced from the per-chunk maxima
+  in registers; the landmark's coordinates are fetched with one tiny DMA.
 
 Replaces the host round-trip + Rust bucket-FPS of the reference
-(core.py:291-343) and the per-step dispatch chain of the XLA loop.
+(core.py:291-343) and the per-step dispatch chain of the XLA loop. The
+selected landmark SET is the exact greedy one (identical distances;
+tie-breaking may differ from the unsorted variant).
 """
 
 from __future__ import annotations
@@ -47,10 +57,15 @@ def _x32_mode():
 
 
 def _fps_kernel(
-    start_ref,  # SMEM (1,) int32: start index
+    start_ref,  # SMEM (1,) int32: start index (in sorted order)
     pts_ref,  # HBM (d, N) points, N = nchunks * CHUNK
+    box_lo_ref,  # VMEM (nchunks, d) chunk bounding-box lower corners
+    box_hi_ref,  # VMEM (nchunks, d) chunk bounding-box upper corners
     out_ref,  # VMEM (L, 1) int32 selected indices
     mind2_ref,  # VMEM scratch (nchunks, CHUNK) running min d²
+    cmax_ref,  # VMEM scratch (nchunks, 1) per-chunk max of mind2
+    cbest_ref,  # VMEM scratch (nchunks, 1) int32 per-chunk argmax index
+    adm_ref,  # VMEM scratch (nchunks, 1) int32 admission bits
     lm_ref,  # VMEM scratch (dim_pad, 1) current landmark coordinates
     lmwin_ref,  # VMEM scratch (dim_pad, 128) aligned landmark window
     buf_ref,  # VMEM scratch (2, dim_pad, CHUNK) double buffer
@@ -88,49 +103,63 @@ def _fps_kernel(
             keepdims=True,
         )
 
-    # ---- select the start landmark and initialize min-distances ----
+    # ---- select the start landmark and initialize state ----
     start = start_ref[0]
     out_ref[pl.ds(0, 1), :] = start.reshape(1, 1)
     fetch_landmark(start)
     mind2_ref[:] = jnp.full(mind2_ref.shape, jnp.inf, dtype=jnp.float32)
+    cmax_ref[:] = jnp.full(cmax_ref.shape, jnp.inf, dtype=jnp.float32)
+    cbest_ref[:] = jnp.zeros(cbest_ref.shape, dtype=jnp.int32)
 
     def sweep(l, _):
         """One greedy step: fold the current landmark into the running
-        min-distances while tracking the global argmax."""
+        min-distances of every chunk it can lower, refresh those chunks'
+        running max/argmax, then pick the global argmax."""
+        lm_t = jnp.transpose(lm_ref[:])  # (1, dim_pad)
+        gap = jnp.maximum(
+            jnp.maximum(box_lo_ref[:] - lm_t, lm_t - box_hi_ref[:]), 0.0
+        )  # (nchunks, dim_pad)
+        lb2 = jnp.sum(gap * gap, axis=1, keepdims=True)  # (nchunks, 1)
+        # strict <: when the bound equals the chunk max, no member can
+        # drop below its current min-distance
+        adm_ref[:] = (lb2 < cmax_ref[:]).astype(jnp.int32)
 
-        fetch(0, 0).start()
+        def chunk_body(c, _c):
+            ok = adm_ref[pl.ds(c, 1), :]  # (1, 1)
 
-        def chunk_body(c, carry):
-            best_val, best_idx = carry
-            slot = c % 2
+            @pl.when(ok[0, 0] == 1)
+            def _update(c=c):
+                cp = fetch(0, c)
+                cp.start()
+                cp.wait()
+                tile = buf_ref[0]  # (d, CHUNK)
+                lm = lm_ref[:]  # (d, 1)
+                diff = tile - lm
+                d2 = jnp.sum(diff * diff, axis=0, keepdims=True)
+                prev = mind2_ref[pl.ds(c, 1), :]  # (1, CHUNK)
+                new = jnp.minimum(prev, d2)
+                mind2_ref[pl.ds(c, 1), :] = new
+                cmax = jnp.max(new)
+                iota = jax.lax.broadcasted_iota(jnp.int32, new.shape, 1)
+                clane = jnp.min(
+                    jnp.where(new == cmax, iota, jnp.int32(2**30))
+                )
+                cmax_ref[pl.ds(c, 1), :] = cmax.reshape(1, 1)
+                cbest_ref[pl.ds(c, 1), :] = (c * chunk + clane).reshape(
+                    1, 1
+                )
 
-            @pl.when(c + 1 < nchunks)
-            def _():
-                fetch((c + 1) % 2, c + 1).start()
+            return _c
 
-            fetch(slot, c).wait()
-            tile = buf_ref[slot]  # (d, CHUNK)
-            lm = lm_ref[:]  # (d, 1)
-            diff = tile - lm
-            d2 = jnp.sum(diff * diff, axis=0, keepdims=True)  # (1, CHUNK)
-            prev = mind2_ref[pl.ds(c, 1), :]  # (1, CHUNK)
-            new = jnp.minimum(prev, d2)
-            mind2_ref[pl.ds(c, 1), :] = new
-            cmax = jnp.max(new)
-            # lane index of the max (iota-select; avoids 1D argmax on TPU)
-            iota = jax.lax.broadcasted_iota(jnp.int32, new.shape, 1)
-            clane = jnp.min(
-                jnp.where(new == cmax, iota, jnp.int32(2**30))
-            )
-            better = cmax > best_val
-            best_val = jnp.where(better, cmax, best_val)
-            best_idx = jnp.where(better, c * chunk + clane, best_idx)
-            return best_val, best_idx
+        jax.lax.fori_loop(0, nchunks, chunk_body, 0)
 
-        best_val, best_idx = jax.lax.fori_loop(
-            0, nchunks, chunk_body, (jnp.float32(-1.0), jnp.int32(0))
+        # global argmax over the per-chunk maxima
+        gm = jnp.max(cmax_ref[:])
+        citer = jax.lax.broadcasted_iota(jnp.int32, cmax_ref.shape, 0)
+        cstar = jnp.min(
+            jnp.where(cmax_ref[:] == gm, citer, jnp.int32(2**30))
         )
-
+        best_idx = cbest_ref[pl.ds(cstar, 1), :][0, 0]
         out_ref[pl.ds(l, 1), :] = best_idx.reshape(1, 1)
         fetch_landmark(best_idx)
         return 0
@@ -138,8 +167,13 @@ def _fps_kernel(
     jax.lax.fori_loop(1, n_samples, sweep, 0, unroll=False)
 
 
-@functools.partial(jax.jit, static_argnames=("n_samples", "chunk"))
-def _fps_call(pts_t, start_idx, *, n_samples: int, chunk: int):
+@functools.partial(
+    jax.jit, static_argnames=("n_samples", "chunk", "interpret")
+)
+def _fps_call(
+    pts_t, box_lo, box_hi, start_idx, *, n_samples: int, chunk: int,
+    interpret: bool = False,
+):
     dim, n_total = pts_t.shape
     nchunks = n_total // chunk
     kernel = functools.partial(
@@ -150,10 +184,17 @@ def _fps_call(pts_t, start_idx, *, n_samples: int, chunk: int):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(1,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((nchunks, chunk), jnp.float32),
+                pltpu.VMEM((nchunks, 1), jnp.float32),
+                pltpu.VMEM((nchunks, 1), jnp.int32),
+                pltpu.VMEM((nchunks, 1), jnp.int32),
                 pltpu.VMEM((dim, 1), jnp.float32),
                 pltpu.VMEM((dim, 128), jnp.float32),
                 pltpu.VMEM((2, dim, chunk), jnp.float32),
@@ -168,43 +209,85 @@ def _fps_call(pts_t, start_idx, *, n_samples: int, chunk: int):
             # the default 16MB scoped limit is far below physical VMEM
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
-    )(start_idx.reshape(1), pts_t)
+        interpret=interpret,
+    )(start_idx.reshape(1), pts_t, box_lo, box_hi)
     return out[:, 0]
 
 
-def pallas_farthest_point_sampling(
-    points: jax.Array, n_samples: int, start_idx=0
-) -> jax.Array:
-    """Exact greedy FPS with the whole loop fused on-chip.
+@functools.partial(jax.jit, static_argnames=("chunk", "dim_pad"))
+def _fps_prepare(points, start, *, chunk: int, dim_pad: int):
+    """Hilbert-sort the cloud and lay it out for the kernel.
 
-    Args:
-        points: (N, d) float32 array on a TPU device.
-        n_samples: number of samples (static).
-        start_idx: index of the first selected point.
-
-    Returns:
-        (n_samples,) int32 indices into ``points``.
+    Returns (pts_t (dim_pad, N_pad) sorted+transposed, box_lo/box_hi
+    (nchunks, dim_pad) chunk bounding boxes, sorted_start scalar, order
+    (N,) permutation so ``original_index = order[sorted_index]``).
     """
+    from .pallas_flood import hilbert_codes, morton_codes
+
     n, dim = points.shape
-    start = jnp.asarray(start_idx, dtype=jnp.int32)
-    n_pad = ((max(n, FPS_CHUNK) + FPS_CHUNK - 1) // FPS_CHUNK) * FPS_CHUNK
-    pts_t = points.astype(jnp.float32).T  # (d, N)
-    # pad the coordinate axis to the HBM tile height (zero rows contribute
-    # (0-0)² = 0 to every distance)
-    dim_pad = 8
+    bits = max(1, min(10, 24 // dim))
+    codes = (
+        hilbert_codes(points, bits) if dim > 1 else morton_codes(points, bits)
+    )
+    order = jnp.argsort(codes)
+    pts_sorted = points[order].astype(jnp.float32)
+    sorted_start = jnp.argmax(
+        (order == start).astype(jnp.int32)
+    ).astype(jnp.int32)
+
+    pts_t = jnp.transpose(pts_sorted)  # (dim, N)
     if dim < dim_pad:
         pts_t = jnp.concatenate(
-            [pts_t, jnp.zeros((dim_pad - dim, pts_t.shape[1]), jnp.float32)]
+            [pts_t, jnp.zeros((dim_pad - dim, n), jnp.float32)]
         )
+    n_pad = ((max(n, chunk) + chunk - 1) // chunk) * chunk
     if n_pad != n:
         # pad with copies of the start point: padded columns always have
         # min-distance 0 and can never be selected
         start_col = jax.lax.dynamic_slice(
-            pts_t, (jnp.int32(0), start), (dim_pad, 1)
+            pts_t, (jnp.int32(0), sorted_start), (dim_pad, 1)
         )
         pad = jnp.tile(start_col, (1, n_pad - n))
         pts_t = jnp.concatenate([pts_t, pad], axis=1)
+    nchunks = n_pad // chunk
+    boxes = pts_t.reshape(dim_pad, nchunks, chunk)
+    box_lo = jnp.transpose(jnp.min(boxes, axis=2))  # (nchunks, dim_pad)
+    box_hi = jnp.transpose(jnp.max(boxes, axis=2))
+    return pts_t, box_lo, box_hi, sorted_start, order
+
+
+def pallas_farthest_point_sampling(
+    points: jax.Array, n_samples: int, start_idx=0, interpret: bool = None
+) -> jax.Array:
+    """Exact greedy FPS with the whole loop fused on-chip.
+
+    Args:
+        points: (N, d) float32 array on a TPU device (or any backend with
+            ``interpret=True``).
+        n_samples: number of samples (static).
+        start_idx: index of the first selected point.
+        interpret: run the kernel in the Pallas interpreter (defaults to
+            True off-TPU so the kernel is CI-testable).
+
+    Returns:
+        (n_samples,) int32 indices into ``points``.
+    """
+    if interpret is None:
+        from ..utils.device import platform_of
+
+        interpret = platform_of(points) != "tpu"
+    start = jnp.asarray(start_idx, dtype=jnp.int32)
     with _x32_mode():
-        return _fps_call(
-            pts_t, start, n_samples=n_samples, chunk=FPS_CHUNK
+        pts_t, box_lo, box_hi, sorted_start, order = _fps_prepare(
+            points, start, chunk=FPS_CHUNK, dim_pad=8
         )
+        idx_sorted = _fps_call(
+            pts_t,
+            box_lo,
+            box_hi,
+            sorted_start,
+            n_samples=n_samples,
+            chunk=FPS_CHUNK,
+            interpret=bool(interpret),
+        )
+    return order[idx_sorted]

@@ -120,6 +120,264 @@ def sharded_flood_min_distances(
     return fn(verts, weights, centers, radii, witnesses)
 
 
+class MeshPallasFloodEngine:
+    """The production Pallas kernel under a ("simplex", "witness") mesh.
+
+    Scale-out version of ``ops.pallas_flood.PallasFloodEngine``: the cloud
+    is Hilbert-sorted **globally**, then sharded in contiguous (therefore
+    still Hilbert-tight) slices along the witness axis; simplex blocks are
+    sharded along the simplex axis. The host builds one Morton/Hilbert
+    work-list **per (simplex-shard, witness-shard) pair** — exactly the
+    single-chip admission logic applied to each shard's chunk boxes — and
+    a single ``shard_map`` runs the fused kernel on every device over its
+    local pair segments. Per-shard partial minima (each exact for its
+    witness slice) combine with one ``lax.pmin`` over ICI; min is
+    associative, so the result is bit-identical to the single-chip kernel
+    up to reduction order.
+
+    Usage: ``flood_complex(points, lms, mesh=mesh)`` — selected
+    automatically on TPU float32 (``use_pallas=False`` forces the dense
+    mesh engine).
+    """
+
+    def __init__(self, points: jax.Array, wchunk: int, mesh: Mesh,
+                 interpret=None):
+        from ..ops import pallas_flood as pf
+
+        if points.dtype != jnp.float32:
+            raise TypeError(
+                "the Pallas mesh engine supports float32 only; "
+                "use use_pallas=False for float64"
+            )
+        if interpret is None:
+            from ..utils.device import platform_of
+
+            interpret = platform_of(points) != "tpu"
+        self.interpret = bool(interpret)
+        self.mesh = mesh
+        del wchunk  # block geometry is fixed by the kernel
+        self.wchunk = pf.WCHUNK
+        n, dim = points.shape
+        self.dim = dim
+        bits = max(1, min(10, pf.MORTON_BITS_TOTAL // dim))
+        self._bits = bits
+        codes = (
+            pf.hilbert_codes(points, bits)
+            if dim > 1
+            else pf.morton_codes(points, bits)
+        )
+        pts_sorted = points[jnp.argsort(codes)]
+        n_ws = mesh.shape[WITNESS_AXIS]
+        # Per-shard chunk count bucketed to a power of two (the local
+        # witness shape is a kernel compile key, exactly as single-chip).
+        per_shard = -(-max(n, self.wchunk) // (self.wchunk * n_ws))
+        n_chunks_l = 1 << max(0, per_shard - 1).bit_length()
+        self.n_chunks_l = n_chunks_l
+        total = n_ws * n_chunks_l * self.wchunk
+        if total != n:
+            n_tail = min(total - n, _round_up(n, self.wchunk) - n)
+            parts = [pts_sorted]
+            if n_tail:
+                parts.append(jnp.repeat(pts_sorted[-1:], n_tail, axis=0))
+            n_far = total - n - n_tail
+            if n_far:
+                # far-away fill chunks intersect no ball → no pairs (the
+                # coordinate differs from the simplex-padding +8e14; see
+                # PallasFloodEngine)
+                parts.append(
+                    jnp.full((n_far, dim), -8.0e14, dtype=points.dtype)
+                )
+            pts_sorted = jnp.concatenate(parts, axis=0)
+        chunks = pts_sorted.reshape(n_ws * n_chunks_l, self.wchunk, dim)
+        self.chunk_lo = jnp.min(chunks, axis=1)
+        self.chunk_hi = jnp.max(chunks, axis=1)
+        # transposed (dim, W) storage sharded along the witness axis
+        self.witnesses = jax.device_put(
+            jnp.transpose(pts_sorted),
+            jax.sharding.NamedSharding(mesh, P(None, WITNESS_AXIS)),
+        )
+
+    def order(self, centers: jax.Array) -> np.ndarray:
+        from ..ops import pallas_flood as pf
+
+        c = np.asarray(centers)
+        if c.shape[1] > 1:
+            code = pf.hilbert_codes_np(c, self._bits)
+        else:
+            code = c[:, 0]
+        return np.argsort(code, kind="stable")
+
+    def min_distances(self, verts, weights, centers, radii, batch_size,
+                      tight=False):
+        from ..ops import pallas_flood as pf
+        from ..ops.pallas_flood import (
+            BS, RT, _flood_pairs_call, _prep, _round_up as rup,
+            _sample_morton_order, _x32_mode,
+        )
+
+        del batch_size
+        mesh = self.mesh
+        n_ss = mesh.shape[SIMPLEX_AXIS]
+        n_ws = mesh.shape[WITNESS_AXIS]
+        num_simplices, k, dim = verts.shape
+        r_count = weights.shape[0]
+        # per-shard simplex-block count, bucketed to a power of two
+        per_shard = -(-(-(-num_simplices // BS)) // n_ss)
+        nsb_l = 1 << max(0, per_shard - 1).bit_length()
+        s_total = n_ss * nsb_l * BS
+        rt = min(RT, rup(r_count, 128))
+        nr = -(-r_count // rt)
+        r2_total = nr * rt
+
+        if s_total != num_simplices:
+            pad_n = s_total - num_simplices
+            verts = jnp.concatenate(
+                [verts, jnp.full((pad_n, k, dim), 8e14, verts.dtype)]
+            )
+            centers = jnp.concatenate(
+                [centers, jnp.full((pad_n, dim), 8e14, centers.dtype)]
+            )
+            radii = jnp.concatenate(
+                [radii, jnp.zeros((pad_n,), radii.dtype)]
+            )
+
+        weights_np = np.asarray(weights, dtype=np.float32)
+        sperm = _sample_morton_order(weights_np)
+        weights_sorted = weights_np[sperm]
+        if r2_total != r_count:
+            weights_sorted = np.concatenate(
+                [weights_sorted,
+                 np.repeat(weights_sorted[-1:], r2_total - r_count, axis=0)]
+            )
+        weights_p = jnp.asarray(weights_sorted)
+        verts_local = verts - centers[:, None, :]
+
+        samples, tile_lo, tile_hi, ub2, active_dev, pairdist_dev = _prep(
+            verts_local, weights_p, centers, radii,
+            self.chunk_lo, self.chunk_hi,
+            bs=BS, nr=nr, rt=rt, tight=tight, wchunk=self.wchunk,
+        )
+        active, pairdist = jax.device_get((active_dev, pairdist_dev))
+
+        # per-(simplex shard, witness shard) work-lists in LOCAL indices,
+        # nearest-first within each block (single-chip admission logic on
+        # the shard's slice of the global active matrix)
+        ncl = self.n_chunks_l
+        lists = []
+        max_pairs = 1
+        for si in range(n_ss):
+            row = []
+            for wi in range(n_ws):
+                a = active[si * nsb_l:(si + 1) * nsb_l,
+                           wi * ncl:(wi + 1) * ncl]
+                d = pairdist[si * nsb_l:(si + 1) * nsb_l,
+                             wi * ncl:(wi + 1) * ncl]
+                ps, pc = np.nonzero(a)
+                o = np.lexsort((d[ps, pc], ps))
+                ps, pc = ps[o].astype(np.int32), pc[o].astype(np.int32)
+                row.append((ps, pc))
+                max_pairs = max(max_pairs, len(ps))
+            lists.append(row)
+
+        seg_len = pf.PAIR_SEGMENT
+        if self.interpret:
+            seg_len = min(
+                seg_len, max(256, 1 << max(0, max_pairs - 1).bit_length())
+            )
+        nseg = max(1, -(-max_pairs // seg_len))
+        L = nseg * seg_len
+        seg_s = np.zeros((n_ss, n_ws, L), dtype=np.int32)
+        seg_c = np.zeros((n_ss, n_ws, L), dtype=np.int32)
+        seg_f = np.zeros((n_ss, n_ws, L), dtype=np.int32)
+        for si in range(n_ss):
+            for wi in range(n_ws):
+                ps, pc = lists[si][wi]
+                if len(ps) == 0:
+                    ps = np.zeros(1, np.int32)
+                    pc = np.zeros(1, np.int32)
+                if len(ps) != L:
+                    pad = L - len(ps)
+                    ps = np.concatenate([ps, np.repeat(ps[-1:], pad)])
+                    pc = np.concatenate([pc, np.repeat(pc[-1:], pad)])
+                seg_s[si, wi] = ps
+                seg_c[si, wi] = pc
+                # first-visit flags are per LAUNCH (segment)
+                for g in range(nseg):
+                    sl = ps[g * seg_len:(g + 1) * seg_len]
+                    f = np.concatenate(
+                        [[1], (sl[1:] != sl[:-1]).astype(np.int32)]
+                    )
+                    seg_f[si, wi, g * seg_len:(g + 1) * seg_len] = f
+
+        ns = jax.sharding.NamedSharding
+        sput = lambda arr: jax.device_put(
+            np.asarray(arr),
+            ns(mesh, P(SIMPLEX_AXIS, WITNESS_AXIS, None)),
+        )
+        seg_s_d, seg_c_d, seg_f_d = sput(seg_s), sput(seg_c), sput(seg_f)
+
+        def shard_s(arr, extra):
+            return jax.device_put(
+                arr, ns(mesh, P(SIMPLEX_AXIS, *([None] * extra)))
+            )
+
+        samples_d = shard_s(samples, 3)
+        centers_d = shard_s(centers, 1)
+        radii_d = shard_s(radii[:, None], 1)
+        tile_lo_d = shard_s(tile_lo, 2)
+        tile_hi_d = shard_s(tile_hi, 2)
+        ub2_d = shard_s(ub2, 2)
+        acc = jax.device_put(
+            jnp.full((s_total, nr, rt), jnp.inf, dtype=jnp.float32),
+            ns(mesh, P(SIMPLEX_AXIS, None, None)),
+        )
+
+        interpret = self.interpret
+        nsub = self.wchunk // pf.SUB
+
+        def body(ss, sc, sf, smp, wit, cen, rad, tlo, thi, u2, a):
+            ss, sc, sf = ss[0, 0], sc[0, 0], sf[0, 0]
+            for g in range(nseg):
+                sl = slice(g * seg_len, (g + 1) * seg_len)
+                a = _flood_pairs_call(
+                    ss[sl], sc[sl], sf[sl], smp, wit, cen, rad,
+                    tlo, thi, u2, a,
+                    bs=BS, dim=dim, nsub=nsub, sub=pf.SUB,
+                    interpret=interpret,
+                )
+            # combine the per-witness-shard partial minima over ICI
+            return jax.lax.pmin(a, WITNESS_AXIS)
+
+        fn = shard_map(
+            body,
+            mesh=mesh,
+            check_vma=False,
+            in_specs=(
+                P(SIMPLEX_AXIS, WITNESS_AXIS, None),
+                P(SIMPLEX_AXIS, WITNESS_AXIS, None),
+                P(SIMPLEX_AXIS, WITNESS_AXIS, None),
+                P(SIMPLEX_AXIS, None, None, None),
+                P(None, WITNESS_AXIS),
+                P(SIMPLEX_AXIS, None),
+                P(SIMPLEX_AXIS, None),
+                P(SIMPLEX_AXIS, None, None),
+                P(SIMPLEX_AXIS, None, None),
+                P(SIMPLEX_AXIS, None, None),
+                P(SIMPLEX_AXIS, None, None),
+            ),
+            out_specs=P(SIMPLEX_AXIS, None, None),
+        )
+        with _x32_mode():
+            out = fn(
+                seg_s_d, seg_c_d, seg_f_d, samples_d, self.witnesses,
+                centers_d, radii_d, tile_lo_d, tile_hi_d, ub2_d, acc,
+            )
+
+        out = out.reshape(s_total, r2_total)[:num_simplices]
+        inv = np.argsort(sperm)
+        return jnp.sqrt(out[:, jnp.asarray(inv)])
+
+
 class MeshFloodEngine:
     """Engine plugging mesh-sharded reduction into ``flood_complex``.
 

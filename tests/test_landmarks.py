@@ -50,9 +50,42 @@ def test_landmark_invalid_count():
         generate_landmarks(pts, 0)
 
 
+def _assert_same_greedy_selection(pts, a, b, start):
+    """Both index sequences must realize the same exact greedy FPS run:
+    identical start, identical per-step farthest distances, and (absent
+    exact distance ties) the identical landmark set. The Pallas kernel
+    walks the cloud in Hilbert order, so on an exact tie it may pick a
+    different (equally farthest) point than the XLA loop."""
+    p = np.asarray(pts, dtype=np.float64)
+    assert a[0] == b[0] == start
+    assert len(set(a.tolist())) == len(a)
+    m_a = np.full(len(p), np.inf)
+    m_b = np.full(len(p), np.inf)
+    for ia, ib in zip(a, b):
+        da, db = m_a[ia], m_b[ib]
+        assert da == db or abs(da - db) < 1e-6 * max(da, db)
+        m_a = np.minimum(m_a, ((p - p[ia]) ** 2).sum(-1))
+        m_b = np.minimum(m_b, ((p - p[ib]) ** 2).sum(-1))
+
+
+@pytest.mark.parametrize("n,n_lms", [(500, 16), (9000, 128)])
+def test_pallas_fps_interpret_matches_xla(n, n_lms):
+    """The fused FPS kernel (Hilbert sort + chunk-skip sweeps) must
+    realize the exact greedy selection on every backend — here in the
+    Pallas interpreter so CI covers the kernel without TPU hardware."""
+    from flooder_tpu.ops.fps import farthest_point_sampling
+    from flooder_tpu.ops.pallas_fps import pallas_farthest_point_sampling
+
+    pts = generate_noisy_torus_points_3d(n, seed=4)
+    a = np.asarray(farthest_point_sampling(pts, n_lms, 7))
+    b = np.asarray(
+        pallas_farthest_point_sampling(pts, n_lms, 7, interpret=True)
+    )
+    _assert_same_greedy_selection(pts, a, b, 7)
+
+
 def test_pallas_fps_matches_xla_on_tpu():
-    """The fused on-chip FPS must select exactly the XLA loop's indices
-    (runs only when a TPU is attached; tests default to CPU)."""
+    """Same check on real TPU hardware (skips on CPU-only CI)."""
     import jax
 
     if jax.default_backend() != "tpu":
@@ -63,4 +96,4 @@ def test_pallas_fps_matches_xla_on_tpu():
     pts = generate_noisy_torus_points_3d(50000, seed=4, device="tpu")
     a = np.asarray(farthest_point_sampling(pts, 300, 0))
     b = np.asarray(pallas_farthest_point_sampling(pts, 300, 0))
-    assert (a == b).all()
+    _assert_same_greedy_selection(pts, a, b, 0)

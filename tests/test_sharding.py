@@ -45,6 +45,30 @@ def test_sharded_matches_single_device(simplex_parallel):
             assert got == pytest.approx(val, abs=2e-6)
 
 
+@pytest.mark.parametrize("simplex_parallel", [8, 2])
+def test_pallas_mesh_engine_matches_single_device(simplex_parallel):
+    """The PRODUCTION Pallas kernel under shard_map (per-shard Hilbert
+    work-lists + pmin combine) must reproduce the single-device dense
+    result (interpret-mode kernel on the CPU mesh)."""
+    assert len(jax.devices()) == 8
+    X = generate_noisy_torus_points_3d(1500, seed=7)
+    L = generate_landmarks(X, 64, start_idx=0)
+
+    fc_single = flood_complex(X, L, points_per_edge=6, use_pallas=False)
+    mesh = make_mesh(simplex_parallel=simplex_parallel)
+    fc_mesh = flood_complex(
+        X, L, points_per_edge=6, mesh=mesh, use_pallas=True
+    )
+
+    assert set(fc_single) == set(fc_mesh)
+    for simplex, val in fc_single.items():
+        got = fc_mesh[simplex]
+        if np.isinf(val):
+            assert np.isinf(got)
+        else:
+            assert got == pytest.approx(val, abs=2e-6)
+
+
 def test_sharded_rand_mode():
     X = generate_noisy_torus_points_3d(1000, seed=1)
     L = generate_landmarks(X, 50, start_idx=0)
