@@ -50,10 +50,16 @@ def run(n_points: int, n_landmarks: int, reps: int, warmup: bool = True):
 
 
 def main():
+    import os
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=1_000_000)
     ap.add_argument("--landmarks", type=int, default=1000)
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--reps",
+        type=int,
+        default=int(os.environ.get("FLOODER_BENCH_REPS", 3)),
+    )
     args = ap.parse_args()
 
     value, times = run(args.points, args.landmarks, args.reps)

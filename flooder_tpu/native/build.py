@@ -17,7 +17,8 @@ from pathlib import Path
 from typing import Optional
 
 _HERE = Path(__file__).resolve().parent
-_SRC = _HERE / "src" / "persistence.cpp"
+_SRCS = [_HERE / "src" / "persistence.cpp", _HERE / "src" / "flood_cpu.cpp"]
+_SRC = _SRCS[0]  # kept for back-compat with older call sites
 _LIB = _HERE / "_flood_native.so"
 
 _lock = threading.Lock()
@@ -34,7 +35,7 @@ def _compile() -> bool:
         "-shared",
         "-fPIC",
         "-march=native",
-        str(_SRC),
+        *[str(s) for s in _SRCS],
         "-o",
         str(_LIB),
     ]
@@ -64,7 +65,9 @@ def load_native() -> Optional[ctypes.CDLL]:
     with _lock:
         if _cached is not None:
             return _cached
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _LIB.exists() or any(
+            _LIB.stat().st_mtime < s.stat().st_mtime for s in _SRCS
+        ):
             if not _compile():
                 _failed = True
                 return None
@@ -83,5 +86,16 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        for name, fptr in (
+            ("flood_min_dist_f32", ctypes.c_float),
+            ("flood_min_dist_f64", ctypes.c_double),
+        ):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int64
+            p = ctypes.POINTER(fptr)
+            fn.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, p, p, p, p, p, ctypes.c_int64, p,
+            ]
         _cached = lib
         return lib

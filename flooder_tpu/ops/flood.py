@@ -191,7 +191,14 @@ def batch_windows(
 
 
 class DenseFloodEngine:
-    """Backend-portable engine: axis-sorted witnesses + scanned batches."""
+    """Backend-portable engine: axis-sorted witnesses + scanned batches.
+
+    On CPU backends the reduction runs in the native C++ kernel
+    (native/src/flood_cpu.cpp) when available — the counterpart of the
+    reference's C++ KDTree CPU path (reference core.py:197-199); the
+    scanned XLA formulation stays as the accelerator path and the
+    fallback.
+    """
 
     def __init__(self, points: jax.Array, wchunk: int):
         self.wchunk = wchunk
@@ -202,12 +209,68 @@ class DenseFloodEngine:
             jnp.argmax(jnp.max(points, axis=0) - jnp.min(points, axis=0))
         )
         pts_sorted = points[jnp.argsort(points[:, self.mrd])]
+        self._native = None
+        from ..utils.device import platform_of
+
+        if platform_of(points) == "cpu" and dim <= 16:
+            try:
+                from ..native import load_native
+
+                lib = load_native()
+                if lib is not None and hasattr(lib, "flood_min_dist_f32"):
+                    self._native = lib
+                    import numpy as np
+
+                    self._wit_np = np.ascontiguousarray(
+                        np.asarray(pts_sorted[:n_pts])
+                    )
+                    self._waxis_np = np.ascontiguousarray(
+                        self._wit_np[:, self.mrd]
+                    )
+            except Exception:  # pragma: no cover - graceful degrade
+                self._native = None
         total = _round_up(max(n_pts, wchunk), wchunk)
         if total != n_pts:
             pad = jnp.full((total - n_pts, dim), WITNESS_PAD, dtype=points.dtype)
             pts_sorted = jnp.concatenate([pts_sorted, pad], axis=0)
         self.witnesses = pts_sorted
         self.witness_axis = pts_sorted[:, self.mrd]
+
+    def _native_min_distances(self, verts, weights, centers, radii):
+        """Native C++ reduction (CPU): per-simplex sorted-axis window +
+        ball filter + SIMD min-fold over samples."""
+        import ctypes
+
+        import numpy as np
+
+        dt = np.float64 if self.dtype == jnp.float64 else np.float32
+        cptr = ctypes.c_double if dt == np.float64 else ctypes.c_float
+        fn = (
+            self._native.flood_min_dist_f64
+            if dt == np.float64
+            else self._native.flood_min_dist_f32
+        )
+        verts_np = np.asarray(verts, dtype=dt)
+        centers_np = np.ascontiguousarray(np.asarray(centers, dtype=dt))
+        radii_np = np.ascontiguousarray(np.asarray(radii, dtype=dt))
+        weights_np = np.asarray(weights, dtype=dt)
+        verts_local = verts_np - centers_np[:, None, :]
+        # (S, dim, R): transposed so the C++ inner loop vectorizes over R
+        samples = np.ascontiguousarray(
+            np.einsum("rk,skd->sdr", weights_np, verts_local)
+        )
+        s_count, dim, r_count = samples.shape
+        out = np.empty((s_count, r_count), dtype=dt)
+        p = lambda a: a.ctypes.data_as(ctypes.POINTER(cptr))
+        rc = fn(
+            s_count, r_count, dim, len(self._wit_np),
+            p(samples), p(centers_np), p(radii_np),
+            p(self._wit_np), p(self._waxis_np),
+            int(self.mrd), p(out),
+        )
+        if rc != 0:  # pragma: no cover - defensive
+            return None
+        return jnp.asarray(out)
 
     def order(self, centers: jax.Array) -> jax.Array:
         """Processing order for simplices (spatial coherence of windows)."""
@@ -229,6 +292,10 @@ class DenseFloodEngine:
         """
         del tight
         num_simplices = verts.shape[0]
+        if self._native is not None:
+            out = self._native_min_distances(verts, weights, centers, radii)
+            if out is not None:
+                return out
         bsz = max(1, min(int(batch_size), num_simplices))
         # Cap the (B, R, C) distance intermediate at ~256 MB so a large
         # user batch size cannot OOM accelerator memory.
