@@ -39,7 +39,7 @@ from flooder_tpu.core import generate_landmarks
 def washer_points(n, seed):
     """Annulus extruded in z — the lockwasher-shaped showcase."""
     ring = np.asarray(
-        generate_annulus_points_2d(n, inner_radius=0.6, outer_radius=1.0, seed=seed)
+        generate_annulus_points_2d(n, radius=1.0, width=0.4, seed=seed)
     )
     rng = np.random.default_rng(seed)
     z = rng.uniform(0.0, 0.18, size=(n, 1)).astype(np.float32)
