@@ -4,9 +4,11 @@ The XLA ``fori_loop`` FPS (ops/fps.py) pays ~0.8 ms of loop/launch latency
 per landmark on TPU — 2000 landmarks cost ~1.6 s against ~50 ms of actual
 memory traffic. This kernel runs the WHOLE greedy loop on-chip:
 
-- the running min-squared-distance array stays resident in VMEM,
 - the cloud is **Hilbert-sorted** so every (d, CHUNK) tile of the point
   stream is a spatially tight box,
+- the running min-squared-distance array lives in **HBM** (aliased
+  in/out), so cloud size is bounded by HBM, not VMEM — rows stream
+  through VMEM only for chunks that actually change,
 - each greedy sweep folds the new landmark into the running min-distances
   **only for chunks the landmark can actually lower**: a chunk whose
   bounding-box distance to the landmark is at least its current max
@@ -35,10 +37,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 FPS_CHUNK = 8192
-# The running min-distance array lives in VMEM (one f32 per point; the
-# chip has ~128MB of VMEM). Clouds beyond this budget fall back to the
-# XLA loop.
-FPS_MAX_POINTS = 24_000_000
+# The min-distance array is HBM-resident (one f32 per point), so the only
+# real bound is HBM itself; this guard just keeps the auxiliary per-chunk
+# state and the Hilbert sort reasonable.
+FPS_MAX_POINTS = 400_000_000
 
 
 def fits_pallas_fps(n_points: int) -> bool:
@@ -61,29 +63,25 @@ def _fps_kernel(
     pts_ref,  # HBM (d, N) points, N = nchunks * CHUNK
     box_lo_ref,  # VMEM (nchunks, d) chunk bounding-box lower corners
     box_hi_ref,  # VMEM (nchunks, d) chunk bounding-box upper corners
+    _mind2_in_ref,  # HBM (nchunks, CHUNK) running min d² (aliased to out)
     out_ref,  # VMEM (L, 1) int32 selected indices
-    mind2_ref,  # VMEM scratch (nchunks, CHUNK) running min d²
+    mind2_ref,  # HBM (nchunks, CHUNK) running min d² (the alias target)
     cmax_ref,  # VMEM scratch (nchunks, 1) per-chunk max of mind2
     cbest_ref,  # VMEM scratch (nchunks, 1) int32 per-chunk argmax index
     adm_ref,  # VMEM scratch (nchunks, 1) int32 admission bits
+    row_ref,  # VMEM scratch (1, CHUNK) staging for one mind2 row
     lm_ref,  # VMEM scratch (dim_pad, 1) current landmark coordinates
     lmwin_ref,  # VMEM scratch (dim_pad, 128) aligned landmark window
-    buf_ref,  # VMEM scratch (2, dim_pad, CHUNK) double buffer
-    sem,  # DMA semaphores (2,)
+    buf_ref,  # VMEM scratch (dim_pad, CHUNK) point-chunk buffer
+    sem,  # DMA semaphore for point fetches
+    row_sem,  # DMA semaphore for mind2 row traffic
     lm_sem,  # DMA semaphore for landmark fetch
     *,
     n_samples: int,
     chunk: int,
     dim: int,
 ):
-    nchunks = mind2_ref.shape[0]
-
-    def fetch(slot, c):
-        return pltpu.make_async_copy(
-            pts_ref.at[:, pl.ds(c * chunk, chunk)],
-            buf_ref.at[slot],
-            sem.at[slot],
-        )
+    nchunks = cmax_ref.shape[0]
 
     def fetch_landmark(idx):
         """Fetch the landmark column via a lane-aligned 128-wide window
@@ -107,7 +105,6 @@ def _fps_kernel(
     start = start_ref[0]
     out_ref[pl.ds(0, 1), :] = start.reshape(1, 1)
     fetch_landmark(start)
-    mind2_ref[:] = jnp.full(mind2_ref.shape, jnp.inf, dtype=jnp.float32)
     cmax_ref[:] = jnp.full(cmax_ref.shape, jnp.inf, dtype=jnp.float32)
     cbest_ref[:] = jnp.zeros(cbest_ref.shape, dtype=jnp.int32)
 
@@ -129,16 +126,26 @@ def _fps_kernel(
 
             @pl.when(ok[0, 0] == 1)
             def _update(c=c):
-                cp = fetch(0, c)
+                cp = pltpu.make_async_copy(
+                    pts_ref.at[:, pl.ds(c * chunk, chunk)], buf_ref, sem
+                )
                 cp.start()
+                rp = pltpu.make_async_copy(
+                    mind2_ref.at[pl.ds(c, 1), :], row_ref, row_sem
+                )
+                rp.start()
                 cp.wait()
-                tile = buf_ref[0]  # (d, CHUNK)
+                rp.wait()
+                tile = buf_ref[:]  # (d, CHUNK)
                 lm = lm_ref[:]  # (d, 1)
                 diff = tile - lm
                 d2 = jnp.sum(diff * diff, axis=0, keepdims=True)
-                prev = mind2_ref[pl.ds(c, 1), :]  # (1, CHUNK)
-                new = jnp.minimum(prev, d2)
-                mind2_ref[pl.ds(c, 1), :] = new
+                new = jnp.minimum(row_ref[:], d2)  # (1, CHUNK)
+                row_ref[:] = new
+                wb = pltpu.make_async_copy(
+                    row_ref, mind2_ref.at[pl.ds(c, 1), :], row_sem
+                )
+                wb.start()
                 cmax = jnp.max(new)
                 iota = jax.lax.broadcasted_iota(jnp.int32, new.shape, 1)
                 clane = jnp.min(
@@ -148,6 +155,7 @@ def _fps_kernel(
                 cbest_ref[pl.ds(c, 1), :] = (c * chunk + clane).reshape(
                     1, 1
                 )
+                wb.wait()
 
             return _c
 
@@ -176,10 +184,11 @@ def _fps_call(
 ):
     dim, n_total = pts_t.shape
     nchunks = n_total // chunk
+    mind2 = jnp.full((nchunks, chunk), jnp.inf, dtype=jnp.float32)
     kernel = functools.partial(
         _fps_kernel, n_samples=n_samples, chunk=chunk, dim=dim
     )
-    out = pl.pallas_call(
+    out, _ = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -188,29 +197,36 @@ def _fps_call(
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
             scratch_shapes=[
-                pltpu.VMEM((nchunks, chunk), jnp.float32),
                 pltpu.VMEM((nchunks, 1), jnp.float32),
                 pltpu.VMEM((nchunks, 1), jnp.int32),
                 pltpu.VMEM((nchunks, 1), jnp.int32),
+                pltpu.VMEM((1, chunk), jnp.float32),
                 pltpu.VMEM((dim, 1), jnp.float32),
                 pltpu.VMEM((dim, 128), jnp.float32),
-                pltpu.VMEM((2, dim, chunk), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((dim, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_samples, 1), jnp.int32),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_samples, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nchunks, chunk), jnp.float32),
+        ],
+        # the running min-distance array is read-modify-written in place
+        input_output_aliases={4: 1},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            # the min-distance scratch is VMEM-resident (one f32/point);
-            # the default 16MB scoped limit is far below physical VMEM
-            vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(start_idx.reshape(1), pts_t, box_lo, box_hi)
+    )(start_idx.reshape(1), pts_t, box_lo, box_hi, mind2)
     return out[:, 0]
 
 
