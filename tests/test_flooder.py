@@ -245,3 +245,34 @@ def test_dict_matches_tree():
     st = flood_complex(X, L, points_per_edge=8, return_simplex_tree=True)
     tree_dict = {tuple(s): f for s, f in st.get_simplices()}
     assert fc == tree_dict
+
+
+def test_native_cpu_matches_xla_dense():
+    """The native C++ CPU reduction and the portable XLA scan must agree
+    exactly (same windowing-superset + ball-mask + diff-form semantics)."""
+    import jax.numpy as jnp
+
+    from flooder_tpu.ops.flood import DenseFloodEngine, simplex_bounding_balls
+    from flooder_tpu.topology import DelaunayComplex
+
+    X = generate_noisy_torus_points_3d(2500, seed=9)
+    L = generate_landmarks(X, 80, start_idx=0)
+    eng = DenseFloodEngine(X, 512)
+    if eng._native is None:
+        pytest.skip("native CPU kernel unavailable")
+    stree = DelaunayComplex(np.asarray(L, dtype=np.float64)).create_simplex_tree()
+    simplices = stree._verts[3]
+    sv = L[jnp.asarray(simplices)]
+    c, r = simplex_bounding_balls(sv)
+    o = eng.order(c)
+    sv, c, r = sv[o], c[o], r[o]
+    from flooder_tpu.core import _grid_host
+
+    grid_np, _, _ = _grid_host(8, 3)
+    w = jnp.asarray(grid_np, dtype=jnp.float32)
+    d_native = np.asarray(eng.min_distances(sv, w, c, r, 64))
+    eng._native = None
+    d_xla = np.asarray(eng.min_distances(sv, w, c, r, 64))
+    finite = np.isfinite(d_xla)
+    assert (np.isfinite(d_native) == finite).all()
+    assert np.abs(d_native[finite] - d_xla[finite]).max() < 1e-5
