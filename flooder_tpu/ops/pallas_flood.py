@@ -426,17 +426,22 @@ def _active_pairs_matrix(
 
 
 def _sample_morton_order(weights_np: np.ndarray) -> np.ndarray:
-    """Morton order of barycentric sample rows.
+    """Space-filling-curve order of barycentric sample rows.
 
-    Sample tiles are contiguous runs of RT rows; Morton-sorting the rows
+    Sample tiles are contiguous runs of RT rows; curve-sorting the rows
     makes every tile a spatially tight patch of the simplex (for *any*
     simplex — the weight→point map is affine), which tightens the kernel's
     per-tile bounding boxes and static bounds and lets it skip more work.
     The engine inverse-permutes its output columns, so callers see the
-    original row order.
+    original row order. ``FLOODER_SAMPLE_CURVE=morton`` selects Z-order
+    instead of the default Hilbert order (Hilbert tiles have no Z-jumps,
+    so their bounding boxes are tighter).
     """
     k = weights_np.shape[1]
     bits = max(1, min(10, 24 // max(1, k)))
+    if _os.environ.get("FLOODER_SAMPLE_CURVE", "hilbert") == "hilbert" and k > 1:
+        code = hilbert_codes_np(weights_np.astype(np.float64), bits)
+        return np.argsort(code, kind="stable").astype(np.int32)
     q = np.clip(
         (weights_np * (2**bits - 1)).astype(np.int64), 0, 2**bits - 1
     )
