@@ -157,6 +157,39 @@ def hilbert_codes_np(points: np.ndarray, bits: int) -> np.ndarray:
     return _hilbert_from_quantized(cols, bits, np.where)
 
 
+def kd_order_np(points: np.ndarray, leaf: int) -> np.ndarray:
+    """Balanced k-d ordering: median splits on the widest axis until
+    segments reach ``leaf`` points (host numpy).
+
+    Unlike fixed-length Hilbert runs — whose bounding boxes overlap
+    because run boundaries cut across curve cells — k-d leaves PARTITION
+    space, so consecutive ``leaf``-point runs of the returned order have
+    disjoint, tight boxes. Fewer witness chunks then intersect any given
+    ball (the admission overlap factor drops ~2x), at the cost of a
+    host-side build. Split indices land on multiples of ``leaf`` so the
+    kernel's fixed-size sub-chunks coincide with the leaves. Enabled with
+    ``FLOODER_WITNESS_ORDER=kd``.
+    """
+    n = len(points)
+    order = np.arange(n)
+    segments = [(0, n)]
+    while segments:
+        nxt = []
+        for s0, s1 in segments:
+            if s1 - s0 <= leaf:
+                continue
+            idx = order[s0:s1]
+            pts = points[idx]
+            axis = int(np.argmax(pts.max(axis=0) - pts.min(axis=0)))
+            half = max(leaf, (((s1 - s0) // 2) // leaf) * leaf)
+            part = np.argpartition(pts[:, axis], half)
+            order[s0:s1] = idx[part]
+            nxt.append((s0, s0 + half))
+            nxt.append((s0 + half, s1))
+        segments = nxt
+    return order
+
+
 # ---------------------------------------------------------------------------
 # kernel
 # ---------------------------------------------------------------------------
@@ -527,10 +560,15 @@ class PallasFloodEngine:
         n, dim = points.shape
         self.dim = dim
         bits = max(1, min(10, MORTON_BITS_TOTAL // dim))
-        codes = hilbert_codes(points, bits) if dim > 1 else morton_codes(
-            points, bits
-        )
-        order = jnp.argsort(codes)
+        if _os.environ.get("FLOODER_WITNESS_ORDER") == "kd":
+            order = jnp.asarray(
+                kd_order_np(np.asarray(points), leaf=SUB)
+            )
+        else:
+            codes = hilbert_codes(points, bits) if dim > 1 else morton_codes(
+                points, bits
+            )
+            order = jnp.argsort(codes)
         pts_sorted = points[order]
         total = _round_up(max(n, self.wchunk), self.wchunk)
         # Bucket the chunk count to a power of two: the witness array shape
