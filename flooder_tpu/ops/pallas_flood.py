@@ -135,6 +135,41 @@ def _hilbert_from_quantized(q_cols, bits: int, where):
     return code
 
 
+@functools.partial(jax.jit, static_argnames=("leaf",))
+def kd_order_device(points: jax.Array, leaf: int) -> jax.Array:
+    """Balanced k-d ordering on device: median splits on each segment's
+    widest axis via segmented sorts, until segments reach ``leaf`` points.
+
+    ``points`` must have a power-of-two multiple of ``leaf`` rows (pad by
+    repeating real points — duplicates are idempotent under the min-fold
+    and keep leaf boxes tight, unlike far-sentinel padding whose mixed
+    leaves would get huge boxes). Returns the permutation; consecutive
+    ``leaf``-runs of the result partition space with disjoint boxes
+    (~1.6x tighter than Hilbert runs by volume).
+    """
+    n, dim = points.shape
+    levels = max(0, (n // leaf - 1).bit_length())
+    order = jnp.arange(n, dtype=jnp.int32)
+    pts = points
+    for lvl in range(levels):
+        nseg = 1 << lvl
+        m = n // nseg
+        seg = pts.reshape(nseg, m, dim)
+        ext = jnp.max(seg, axis=1) - jnp.min(seg, axis=1)  # (nseg, dim)
+        ax = jnp.argmax(ext, axis=1)  # (nseg,)
+        keys = jnp.take_along_axis(
+            seg, ax[:, None, None].astype(jnp.int32), axis=2
+        )[:, :, 0]  # (nseg, m)
+        idx = jnp.argsort(keys, axis=1)
+        pts = jnp.take_along_axis(seg, idx[:, :, None], axis=1).reshape(
+            n, dim
+        )
+        order = jnp.take_along_axis(
+            order.reshape(nseg, m), idx, axis=1
+        ).reshape(n)
+    return order
+
+
 @functools.partial(jax.jit, static_argnames=("bits",))
 def hilbert_codes(points: jax.Array, bits: int) -> jax.Array:
     """Hilbert curve codes of points, ``bits`` bits per axis (device)."""
@@ -560,42 +595,51 @@ class PallasFloodEngine:
         n, dim = points.shape
         self.dim = dim
         bits = max(1, min(10, MORTON_BITS_TOTAL // dim))
-        if _os.environ.get("FLOODER_WITNESS_ORDER") == "kd":
-            order = jnp.asarray(
-                kd_order_np(np.asarray(points), leaf=SUB)
-            )
-        else:
-            codes = hilbert_codes(points, bits) if dim > 1 else morton_codes(
-                points, bits
-            )
-            order = jnp.argsort(codes)
-        pts_sorted = points[order]
         total = _round_up(max(n, self.wchunk), self.wchunk)
         # Bucket the chunk count to a power of two: the witness array shape
         # is a kernel compile key, so bucketing lets differently-sized
         # clouds reuse compiled kernels (the cold-compile cliff fix).
         n_chunks = 1 << max(0, (total // self.wchunk) - 1).bit_length()
         total = n_chunks * self.wchunk
-        if total != n:
-            # The last partial chunk is padded by repeating the last
-            # witness (keeps its bounding box tight; duplicates are
-            # harmless under min). Whole bucket-padding chunks are filled
-            # with a far-away coordinate so they intersect no ball and
-            # never enter the work-list.
-            n_tail = _round_up(n, self.wchunk) - n
-            parts = [pts_sorted]
-            if n_tail:
-                parts.append(jnp.repeat(pts_sorted[-1:], n_tail, axis=0))
-            n_far = total - n - n_tail
-            if n_far:
-                # NOTE: must differ from the simplex-padding coordinate
-                # (+8e14): padded simplices are zero-radius balls AT their
-                # own coordinate, so a far-chunk at the same spot would
-                # self-admit and burn full tile loops on garbage.
-                parts.append(
-                    jnp.full((n_far, dim), -8.0e14, dtype=points.dtype)
-                )
-            pts_sorted = jnp.concatenate(parts, axis=0)
+        if _os.environ.get("FLOODER_WITNESS_ORDER") == "kd":
+            # Balanced k-d order (segmented device sorts): disjoint,
+            # ~1.6x-tighter sub-chunk boxes than Hilbert runs. Pad to the
+            # bucketed total BEFORE ordering by repeating real points
+            # (cyclic): duplicates are idempotent under min and keep every
+            # leaf box tight (far-sentinel rows would blow up the boxes of
+            # the leaves they land in).
+            pts_padded = points
+            if total != n:
+                reps = jnp.tile(points, (-(-total // n), 1))[: total - n]
+                pts_padded = jnp.concatenate([points, reps], axis=0)
+            order = kd_order_device(pts_padded, leaf=SUB)
+            pts_sorted = pts_padded[order]
+        else:
+            codes = hilbert_codes(points, bits) if dim > 1 else morton_codes(
+                points, bits
+            )
+            order = jnp.argsort(codes)
+            pts_sorted = points[order]
+            if total != n:
+                # The last partial chunk is padded by repeating the last
+                # witness (keeps its bounding box tight; duplicates are
+                # harmless under min). Whole bucket-padding chunks are
+                # filled with a far-away coordinate so they intersect no
+                # ball and never enter the work-list.
+                n_tail = _round_up(n, self.wchunk) - n
+                parts = [pts_sorted]
+                if n_tail:
+                    parts.append(jnp.repeat(pts_sorted[-1:], n_tail, axis=0))
+                n_far = total - n - n_tail
+                if n_far:
+                    # NOTE: must differ from the simplex-padding coordinate
+                    # (+8e14): padded simplices are zero-radius balls AT
+                    # their own coordinate, so a far-chunk at the same spot
+                    # would self-admit and burn full tile loops on garbage.
+                    parts.append(
+                        jnp.full((n_far, dim), -8.0e14, dtype=points.dtype)
+                    )
+                pts_sorted = jnp.concatenate(parts, axis=0)
         # Transposed (dim, W) storage: the kernel's HBM buffer layout pads
         # the minor dimension to 128 lanes, so (W, small-d) storage would
         # cost 128/d× its size (20 GB for 40M 2-D points).
