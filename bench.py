@@ -49,6 +49,30 @@ def run(n_points: int, n_landmarks: int, reps: int, warmup: bool = True):
     return float(np.median(times)), times
 
 
+def _device_healthy(timeout_s: int = 150) -> bool:
+    """Probe the accelerator with a trivial op in a subprocess.
+
+    A wedged device (e.g. a hung program holding the chip) makes every
+    jax op block forever; failing fast here beats hanging the caller.
+    """
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print('HEALTHY', float(jnp.sum(jnp.ones((64, 64)))))"
+    )
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return "HEALTHY" in res.stdout
+
+
 def main():
     import os
 
@@ -61,6 +85,14 @@ def main():
         default=int(os.environ.get("FLOODER_BENCH_REPS", 3)),
     )
     args = ap.parse_args()
+
+    if not _device_healthy():
+        print(
+            "bench: accelerator unresponsive (trivial op timed out); "
+            "refusing to run — no measurement produced",
+            file=sys.stderr,
+        )
+        sys.exit(3)
 
     value, times = run(args.points, args.landmarks, args.reps)
     print(
