@@ -223,21 +223,6 @@ def _min_combine_faces(faces: np.ndarray, vals: np.ndarray):
 
 
 @lru_cache(maxsize=64)
-def _face_max_fn(points_per_edge: int, dim: int, codim: int):
-    """Jitted per-face max over the grid rows of each face (cached so the
-    face index table is baked into the program as a constant)."""
-    _, _, face_idxs = _grid_host(points_per_edge, dim)
-    face_idx = np.asarray(face_idxs[codim], dtype=np.int32)
-
-    @jax.jit
-    def fn(dists):
-        gathered = jnp.take(dists, jnp.asarray(face_idx), axis=1)
-        return jnp.max(gathered, axis=-1)
-
-    return fn
-
-
-@lru_cache(maxsize=64)
 def _all_face_max_fn(points_per_edge: int, dim: int):
     """Jitted per-face max for EVERY codimension in one dispatch (one
     device sync instead of one per codim; the face index tables are baked
@@ -358,9 +343,8 @@ def flood_complex(
     if _engine_override is not None:
         engine = _engine_override(points, wchunk)
     elif mesh is not None:
-        if use_pallas or (
-            use_pallas is None and platform == "tpu" and dtype == jnp.float32
-        ):
+        # use_pallas was already defaulted above (TPU + float32 → True)
+        if use_pallas:
             from .parallel.sharding import MeshPallasFloodEngine
 
             engine = MeshPallasFloodEngine(points, wchunk, mesh)

@@ -90,7 +90,13 @@ def load_native() -> Optional[ctypes.CDLL]:
             ("flood_min_dist_f32", ctypes.c_float),
             ("flood_min_dist_f64", ctypes.c_double),
         ):
-            fn = getattr(lib, name)
+            try:
+                fn = getattr(lib, name)
+            except AttributeError:
+                # stale .so without the newer symbols: keep the library
+                # usable for the symbols it does have (callers feature-
+                # test with hasattr)
+                continue
             fn.restype = ctypes.c_int64
             p = ctypes.POINTER(fptr)
             fn.argtypes = [

@@ -192,39 +192,6 @@ def hilbert_codes_np(points: np.ndarray, bits: int) -> np.ndarray:
     return _hilbert_from_quantized(cols, bits, np.where)
 
 
-def kd_order_np(points: np.ndarray, leaf: int) -> np.ndarray:
-    """Balanced k-d ordering: median splits on the widest axis until
-    segments reach ``leaf`` points (host numpy).
-
-    Unlike fixed-length Hilbert runs — whose bounding boxes overlap
-    because run boundaries cut across curve cells — k-d leaves PARTITION
-    space, so consecutive ``leaf``-point runs of the returned order have
-    disjoint, tight boxes. Fewer witness chunks then intersect any given
-    ball (the admission overlap factor drops ~2x), at the cost of a
-    host-side build. Split indices land on multiples of ``leaf`` so the
-    kernel's fixed-size sub-chunks coincide with the leaves. Enabled with
-    ``FLOODER_WITNESS_ORDER=kd``.
-    """
-    n = len(points)
-    order = np.arange(n)
-    segments = [(0, n)]
-    while segments:
-        nxt = []
-        for s0, s1 in segments:
-            if s1 - s0 <= leaf:
-                continue
-            idx = order[s0:s1]
-            pts = points[idx]
-            axis = int(np.argmax(pts.max(axis=0) - pts.min(axis=0)))
-            half = max(leaf, (((s1 - s0) // 2) // leaf) * leaf)
-            part = np.argpartition(pts[:, axis], half)
-            order[s0:s1] = idx[part]
-            nxt.append((s0, s0 + half))
-            nxt.append((s0 + half, s1))
-        segments = nxt
-    return order
-
-
 # ---------------------------------------------------------------------------
 # kernel
 # ---------------------------------------------------------------------------
@@ -520,6 +487,60 @@ def _sample_morton_order(weights_np: np.ndarray) -> np.ndarray:
     return np.argsort(code, kind="stable").astype(np.int32)
 
 
+def _tile_geometry(r_count: int):
+    """Sample-tile geometry: (rt lanes per tile, nr tiles, padded total)."""
+    rt = min(RT, _round_up(r_count, 128))
+    nr = -(-r_count // rt)
+    return rt, nr, nr * rt
+
+
+def _pad_simplices(verts, centers, radii, s_total: int):
+    """Pad a simplex batch to ``s_total`` rows with far-away zero-radius
+    balls: they intersect no witness chunk, so padding adds no work-list
+    pairs (output rows are sliced off by the caller)."""
+    num = verts.shape[0]
+    if s_total == num:
+        return verts, centers, radii
+    pad_n = s_total - num
+    _, k, dim = verts.shape
+    verts = jnp.concatenate(
+        [verts, jnp.full((pad_n, k, dim), 8e14, verts.dtype)]
+    )
+    centers = jnp.concatenate(
+        [centers, jnp.full((pad_n, dim), 8e14, centers.dtype)]
+    )
+    radii = jnp.concatenate([radii, jnp.zeros((pad_n,), radii.dtype)])
+    return verts, centers, radii
+
+
+def _prepare_sample_weights(weights, r2_total: int):
+    """Curve-sort the sample weight rows and pad to the tile grid.
+
+    Returns (device weights (r2_total, k), sperm) where ``sperm`` is the
+    applied permutation — callers inverse-permute their output columns.
+    Padding repeats the last row (keeps the final tile's box tight;
+    duplicate samples are harmless under min).
+    """
+    weights_np = np.asarray(weights, dtype=np.float32)
+    sperm = _sample_morton_order(weights_np)
+    ws = weights_np[sperm]
+    if r2_total != len(ws):
+        ws = np.concatenate(
+            [ws, np.repeat(ws[-1:], r2_total - len(ws), axis=0)]
+        )
+    return jnp.asarray(ws), sperm
+
+
+def spatial_order_np(centers, bits: int) -> np.ndarray:
+    """Hilbert processing order of simplices (host numpy: the centers are
+    small and a device sort costs more in dispatch latency than the whole
+    computation on host). Matching the witness curve keeps blocks of
+    consecutive simplices spatially tight."""
+    c = np.asarray(centers)
+    code = hilbert_codes_np(c, bits) if c.shape[1] > 1 else c[:, 0]
+    return np.argsort(code, kind="stable")
+
+
 @functools.partial(
     jax.jit, static_argnames=("bs", "nr", "rt", "tight", "wchunk")
 )
@@ -650,17 +671,7 @@ class PallasFloodEngine:
         self.chunk_hi = jnp.max(chunks, axis=1)
 
     def order(self, centers: jax.Array) -> np.ndarray:
-        """Hilbert processing order of the simplices (host numpy: the
-        centers are small and a device sort costs more in dispatch latency
-        than the whole computation on host). Matching the witness curve
-        keeps blocks of consecutive simplices spatially tight."""
-        c = np.asarray(centers)
-        if c.shape[1] > 1:
-            code = hilbert_codes_np(c, self._bits)
-        else:
-            q = c[:, 0]
-            code = q
-        return np.argsort(code, kind="stable")
+        return spatial_order_np(centers, self._bits)
 
     def min_distances(
         self, verts, weights, centers, radii, batch_size, tight=False
@@ -673,37 +684,16 @@ class PallasFloodEngine:
         # are expensive — buckets make repeat clouds hit the compile cache.
         n_sblocks = 1 << max(0, (-(-num_simplices // BS) - 1)).bit_length()
         s_total = n_sblocks * BS
-        rt = min(RT, _round_up(r_count, 128))
-        nr = -(-r_count // rt)
-        r2_total = nr * rt
+        rt, nr, r2_total = _tile_geometry(r_count)
 
-        # Pad simplices with far-away zero-radius balls: they intersect no
-        # witness chunk, so padding adds no work-list pairs (their output
-        # rows are sliced off below).
-        if s_total != num_simplices:
-            pad_n = s_total - num_simplices
-            verts = jnp.concatenate(
-                [verts, jnp.full((pad_n, k, dim), 8e14, verts.dtype)]
-            )
-            centers = jnp.concatenate(
-                [centers, jnp.full((pad_n, dim), 8e14, centers.dtype)]
-            )
-            radii = jnp.concatenate([radii, jnp.zeros((pad_n,), radii.dtype)])
-
-        # Morton-order the sample rows (host: weights are small) so every
+        verts, centers, radii = _pad_simplices(
+            verts, centers, radii, s_total
+        )
+        # Curve-order the sample rows (host: weights are small) so every
         # RT-tile is a spatially tight patch — tighter tile boxes/bounds,
-        # more kernel skips (see _sample_morton_order). Padding repeats the
-        # last row (keeps the final tile's box tight; duplicate samples are
-        # harmless under min). Output columns are inverse-permuted below.
-        weights_np = np.asarray(weights, dtype=np.float32)
-        sperm = _sample_morton_order(weights_np)
-        weights_sorted = weights_np[sperm]
-        if r2_total != r_count:
-            weights_sorted = np.concatenate(
-                [weights_sorted,
-                 np.repeat(weights_sorted[-1:], r2_total - r_count, axis=0)]
-            )
-        weights_p = jnp.asarray(weights_sorted)
+        # more kernel skips (see _sample_morton_order). Output columns are
+        # inverse-permuted below.
+        weights_p, sperm = _prepare_sample_weights(weights, r2_total)
         verts_local = verts - centers[:, None, :]
 
         # All kernel-operand prep — ball-local sample tiles laid out

@@ -37,10 +37,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 FPS_CHUNK = 8192
-# The min-distance array is HBM-resident (one f32 per point), so the only
-# real bound is HBM itself; this guard just keeps the auxiliary per-chunk
-# state and the Hilbert sort reasonable.
-FPS_MAX_POINTS = 400_000_000
+# The min-distance array is HBM-resident (one f32 per point); the binding
+# constraint is the per-chunk VMEM state (cmax/cbest/adm scratches and the
+# box inputs are (nchunks, ·) arrays, lane-padded to 128 by Mosaic →
+# ~2.5KB per chunk). 100M points ≈ 12.2k chunks ≈ 30MB of VMEM state,
+# comfortably inside the raised scoped limit below; larger clouds fall
+# back to the XLA loop.
+FPS_MAX_POINTS = 100_000_000
 
 
 def fits_pallas_fps(n_points: int) -> bool:
@@ -224,6 +227,10 @@ def _fps_call(
         input_output_aliases={4: 1},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
+            # per-chunk VMEM state scales with the cloud (see
+            # FPS_MAX_POINTS); the default 16MB scoped limit caps out
+            # around 50M points
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
     )(start_idx.reshape(1), pts_t, box_lo, box_hi, mind2)

@@ -198,21 +198,16 @@ class MeshPallasFloodEngine:
         )
 
     def order(self, centers: jax.Array) -> np.ndarray:
-        from ..ops import pallas_flood as pf
+        from ..ops.pallas_flood import spatial_order_np
 
-        c = np.asarray(centers)
-        if c.shape[1] > 1:
-            code = pf.hilbert_codes_np(c, self._bits)
-        else:
-            code = c[:, 0]
-        return np.argsort(code, kind="stable")
+        return spatial_order_np(centers, self._bits)
 
     def min_distances(self, verts, weights, centers, radii, batch_size,
                       tight=False):
         from ..ops import pallas_flood as pf
         from ..ops.pallas_flood import (
-            BS, RT, _flood_pairs_call, _prep, _round_up as rup,
-            _sample_morton_order, _x32_mode,
+            BS, _flood_pairs_call, _pad_simplices, _prep,
+            _prepare_sample_weights, _tile_geometry, _x32_mode,
         )
 
         del batch_size
@@ -225,31 +220,12 @@ class MeshPallasFloodEngine:
         per_shard = -(-(-(-num_simplices // BS)) // n_ss)
         nsb_l = 1 << max(0, per_shard - 1).bit_length()
         s_total = n_ss * nsb_l * BS
-        rt = min(RT, rup(r_count, 128))
-        nr = -(-r_count // rt)
-        r2_total = nr * rt
+        rt, nr, r2_total = _tile_geometry(r_count)
 
-        if s_total != num_simplices:
-            pad_n = s_total - num_simplices
-            verts = jnp.concatenate(
-                [verts, jnp.full((pad_n, k, dim), 8e14, verts.dtype)]
-            )
-            centers = jnp.concatenate(
-                [centers, jnp.full((pad_n, dim), 8e14, centers.dtype)]
-            )
-            radii = jnp.concatenate(
-                [radii, jnp.zeros((pad_n,), radii.dtype)]
-            )
-
-        weights_np = np.asarray(weights, dtype=np.float32)
-        sperm = _sample_morton_order(weights_np)
-        weights_sorted = weights_np[sperm]
-        if r2_total != r_count:
-            weights_sorted = np.concatenate(
-                [weights_sorted,
-                 np.repeat(weights_sorted[-1:], r2_total - r_count, axis=0)]
-            )
-        weights_p = jnp.asarray(weights_sorted)
+        verts, centers, radii = _pad_simplices(
+            verts, centers, radii, s_total
+        )
+        weights_p, sperm = _prepare_sample_weights(weights, r2_total)
         verts_local = verts - centers[:, None, :]
 
         samples, tile_lo, tile_hi, ub2, active_dev, pairdist_dev = _prep(
