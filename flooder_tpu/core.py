@@ -190,7 +190,7 @@ def generate_landmarks(
         platform_of(pts) == "tpu"
         and pts.dtype == jnp.float32
         and n_lms > 1
-        and fits_pallas_fps(n_pts)
+        and fits_pallas_fps(n_pts, pts.shape[1])
     ):
         # fused on-chip greedy loop (~10x the XLA fori_loop on TPU)
         from .ops.pallas_fps import pallas_farthest_point_sampling
@@ -398,9 +398,7 @@ def flood_complex(
             weights = generate_uniform_weights(num_rand, d, dtype=dtype)
 
         bsz = num_simplices if batch_size is None else int(batch_size)
-        distances = engine.min_distances(
-            sim_verts, weights, centers, radii, bsz, tight=tight
-        )  # (S, R)
+        facemax = getattr(engine, "min_distances_facemax", None)
 
         if num_rand is None:
             # One value per face of every top-dim simplex
@@ -411,8 +409,19 @@ def flood_complex(
             # with **min** — order-independent (deterministic across
             # dtypes/backends) and the tightest of the ball-restricted
             # estimates of the true covering radius.
-            fn = _all_face_max_fn(points_per_edge, max_dimension)
-            fvals_all = jax.device_get(fn(distances))  # one sync, all codims
+            if facemax is not None:
+                # fused epilogue: face maxima computed on the kernel's
+                # squared accumulator, no (S, R) materialization
+                fvals_all = jax.device_get(facemax(
+                    sim_verts, weights, centers, radii, bsz, tight=tight,
+                    face_tables=face_idxs,
+                ))
+            else:
+                distances = engine.min_distances(
+                    sim_verts, weights, centers, radii, bsz, tight=tight
+                )  # (S, R)
+                fn = _all_face_max_fn(points_per_edge, max_dimension)
+                fvals_all = jax.device_get(fn(distances))  # one sync
             for codim, vertex_idx in enumerate(vertex_idxs):
                 fvals_host = fvals_all[codim]  # (S, F)
                 faces = simplices_sorted[:, vertex_idx]  # (S, F, dim+1-codim)
@@ -422,7 +431,16 @@ def flood_complex(
                 )
                 stree.assign_filtrations(face_dim, uniq_faces, min_vals)
         else:
-            vals_host = np.asarray(jnp.max(distances, axis=-1))  # (S,)
+            if facemax is not None:
+                vals_host = np.asarray(facemax(
+                    sim_verts, weights, centers, radii, bsz, tight=tight,
+                    face_tables=None,
+                ))  # (S,)
+            else:
+                distances = engine.min_distances(
+                    sim_verts, weights, centers, radii, bsz, tight=tight
+                )
+                vals_host = np.asarray(jnp.max(distances, axis=-1))  # (S,)
             stree.assign_filtrations(d, simplices_sorted, vals_host)
 
     stree.make_filtration_non_decreasing()

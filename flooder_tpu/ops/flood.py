@@ -238,7 +238,14 @@ class DenseFloodEngine:
 
     def _native_min_distances(self, verts, weights, centers, radii):
         """Native C++ reduction (CPU): per-simplex sorted-axis window +
-        ball filter + SIMD min-fold over samples."""
+        ball filter + SIMD min-fold over samples.
+
+        Chunked over simplices so the (B, dim, R) samples intermediate plus
+        the (B, R) output stay bounded (~256 MB) on host, matching the cap
+        the XLA path enforces on device — grid mode at thousands of samples
+        per simplex over tens of thousands of simplices would otherwise
+        allocate multiple GB in one numpy call.
+        """
         import ctypes
 
         import numpy as np
@@ -254,22 +261,33 @@ class DenseFloodEngine:
         centers_np = np.ascontiguousarray(np.asarray(centers, dtype=dt))
         radii_np = np.ascontiguousarray(np.asarray(radii, dtype=dt))
         weights_np = np.asarray(weights, dtype=dt)
-        verts_local = verts_np - centers_np[:, None, :]
-        # (S, dim, R): transposed so the C++ inner loop vectorizes over R
-        samples = np.ascontiguousarray(
-            np.einsum("rk,skd->sdr", weights_np, verts_local)
-        )
-        s_count, dim, r_count = samples.shape
+        s_count = verts_np.shape[0]
+        dim = verts_np.shape[-1]
+        r_count = weights_np.shape[0]
         out = np.empty((s_count, r_count), dtype=dt)
         p = lambda a: a.ctypes.data_as(ctypes.POINTER(cptr))
-        rc = fn(
-            s_count, r_count, dim, len(self._wit_np),
-            p(samples), p(centers_np), p(radii_np),
-            p(self._wit_np), p(self._waxis_np),
-            int(self.mrd), p(out),
-        )
-        if rc != 0:  # pragma: no cover - defensive
-            return None
+        max_b = max(1, (256 << 20) // max(1, r_count * (dim + 1) * dt().itemsize))
+        for start in range(0, s_count, max_b):
+            end = min(start + max_b, s_count)
+            verts_local = (
+                verts_np[start:end] - centers_np[start:end, None, :]
+            )
+            # (B, dim, R): transposed so the C++ inner loop vectorizes over R
+            samples = np.ascontiguousarray(
+                np.einsum("rk,skd->sdr", weights_np, verts_local)
+            )
+            cen = np.ascontiguousarray(centers_np[start:end])
+            rad = np.ascontiguousarray(radii_np[start:end])
+            chunk_out = np.empty((end - start, r_count), dtype=dt)
+            rc = fn(
+                end - start, r_count, dim, len(self._wit_np),
+                p(samples), p(cen), p(rad),
+                p(self._wit_np), p(self._waxis_np),
+                int(self.mrd), p(chunk_out),
+            )
+            if rc != 0:  # pragma: no cover - defensive
+                return None
+            out[start:end] = chunk_out
         return jnp.asarray(out)
 
     def order(self, centers: jax.Array) -> jax.Array:

@@ -48,6 +48,19 @@ BS = int(_os.environ.get("FLOODER_PALLAS_BS", 8))
 RT = int(_os.environ.get("FLOODER_PALLAS_RT", 512))
 WCHUNK = int(_os.environ.get("FLOODER_PALLAS_WCHUNK", 2048))
 SUB = int(_os.environ.get("FLOODER_PALLAS_SUB", 512))
+# Experimental: compute tile distances as |y|² − 2 y·x + |x|² with the
+# cross term on the MXU instead of the per-coordinate VPU loop. Cuts the
+# VPU work per (witness, sample) pair from ~2·dim ops to ~3, at the cost
+# of the dot-product form's cancellation error (~1e-5 relative at flood
+# geometry — ball-local coordinates bound |x|,|y| by ~2r). Off by default
+# until the hardware sweep shows a win at acceptable accuracy.
+MXU = _os.environ.get("FLOODER_PALLAS_MXU", "0") == "1"
+
+
+def _mxu_enabled() -> bool:
+    """Call-time env resolution so tests/sweeps can flip the MXU path
+    without re-importing the module."""
+    return _os.environ.get("FLOODER_PALLAS_MXU", "0") == "1"
 MORTON_BITS_TOTAL = 24
 # Work-list pairs per kernel launch: 3 int32 scalar-prefetch arrays of this
 # length must fit the chip's 1MB SMEM alongside control state.
@@ -217,6 +230,7 @@ def _flood_kernel(
     dim: int,
     nsub: int,
     sub: int,
+    mxu: bool = MXU,
 ):
     p = pl.program_id(0)
 
@@ -298,8 +312,14 @@ def _flood_kernel(
                     y2 = jnp.sum(yl * yl, axis=1, keepdims=True)  # (SUB, 1)
                     # Mask by moving rejected witnesses far away:
                     # (big − x)² saturates and drops out of the min — no
-                    # per-element select.
+                    # per-element select. (3e18² ≈ 9e36 stays finite in
+                    # f32, and dominates every in-ball distance in both
+                    # the coordinate-loop and MXU formulations.)
                     ymask = jnp.where(y2 <= r2, yl, jnp.float32(3e18))
+                    if mxu:
+                        ym2 = jnp.sum(
+                            ymask * ymask, axis=1, keepdims=True
+                        )  # (SUB, 1)
 
                     def r_body(r, carry):
                         ok = tile_ok_ref[pl.ds(r, 1), :]  # (1, 1)
@@ -308,10 +328,30 @@ def _flood_kernel(
                         def _tile(r=r):
                             prev = out_ref[s, pl.ds(r, 1), :]  # (1, RT)
                             x = samples_ref[s, r]  # (dim, RT)
-                            d2 = jnp.zeros((sub, rt), dtype=jnp.float32)
-                            for i in range(dim):
-                                diff = ymask[:, i : i + 1] - x[i : i + 1, :]
-                                d2 = d2 + diff * diff
+                            if mxu:
+                                # |y−x|² = |y|² − 2 y·x + |x|²; the cross
+                                # term rides the systolic array
+                                xy = jax.lax.dot_general(
+                                    ymask, x,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                )  # (SUB, RT)
+                                x2 = jnp.sum(
+                                    x * x, axis=0, keepdims=True
+                                )  # (1, RT)
+                                d2 = (ym2 - 2.0 * xy) + x2
+                                # cancellation can go slightly negative
+                                d2 = jnp.maximum(d2, 0.0)
+                            else:
+                                d2 = jnp.zeros(
+                                    (sub, rt), dtype=jnp.float32
+                                )
+                                for i in range(dim):
+                                    diff = (
+                                        ymask[:, i : i + 1]
+                                        - x[i : i + 1, :]
+                                    )
+                                    d2 = d2 + diff * diff
                             cmin = jnp.min(d2, axis=0, keepdims=True)
                             out_ref[s, pl.ds(r, 1), :] = jnp.minimum(
                                 prev, cmin
@@ -324,7 +364,7 @@ def _flood_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bs", "dim", "nsub", "sub", "interpret"),
+    static_argnames=("bs", "dim", "nsub", "sub", "interpret", "mxu"),
     donate_argnums=(10,),
 )
 def _flood_pairs_call(
@@ -345,6 +385,7 @@ def _flood_pairs_call(
     nsub: int,
     sub: int,
     interpret: bool,
+    mxu: bool = MXU,
 ):
     npairs = pair_s.shape[0]
     nr = samples.shape[1]
@@ -352,7 +393,7 @@ def _flood_pairs_call(
     wchunk = nsub * sub
 
     kernel = functools.partial(
-        _flood_kernel, bs=bs, dim=dim, nsub=nsub, sub=sub
+        _flood_kernel, bs=bs, dim=dim, nsub=nsub, sub=sub, mxu=mxu
     )
 
     out = pl.pallas_call(
@@ -677,6 +718,57 @@ class PallasFloodEngine:
         self, verts, weights, centers, radii, batch_size, tight=False
     ):
         del batch_size  # block geometry is fixed by the kernel
+        acc, sperm, num_simplices, s_total, r2_total = self._run_kernel(
+            verts, weights, centers, radii, tight
+        )
+        out = acc.reshape(s_total, r2_total)[:num_simplices]
+        # Undo the Morton sample permutation: column i holds original
+        # sample sperm[i].
+        inv = np.argsort(sperm)
+        return jnp.sqrt(out[:, jnp.asarray(inv)])
+
+    def min_distances_facemax(
+        self, verts, weights, centers, radii, batch_size, tight=False,
+        face_tables=None,
+    ):
+        """Run the kernel and reduce to per-face maxima in ONE epilogue
+        dispatch on the squared accumulator.
+
+        The unfused path materializes the full (S, R) sqrt'd,
+        inverse-permuted distance matrix and then re-dispatches a gather +
+        max per codimension (the reference extracts face values the same
+        two-step way, core.py:251-276). Fusing skips the (S, R)
+        materialization entirely: the face index tables are composed with
+        the sample permutation on host, the maxima are taken over squared
+        values (max and sqrt commute), and only the tiny (S, F) results are
+        ever produced.
+
+        Args:
+            face_tables: list of (F_c, m_c) index tables (one per
+                codimension) into the ORIGINAL sample rows, or None for a
+                single max over all samples (random mode).
+
+        Returns:
+            tuple of (S, F_c) arrays, or a single (S,) array when
+            ``face_tables`` is None.
+        """
+        del batch_size
+        acc, sperm, num_simplices, s_total, r2_total = self._run_kernel(
+            verts, weights, centers, radii, tight
+        )
+        acc2 = acc.reshape(s_total, r2_total)
+        if face_tables is None:
+            # padded sample columns repeat a real row — harmless under max
+            return _max_sqrt_epilogue(acc2)[:num_simplices]
+        inv = np.argsort(sperm)
+        tables = tuple(
+            jnp.asarray(inv[np.asarray(t, dtype=np.int64)], dtype=jnp.int32)
+            for t in face_tables
+        )
+        outs = _facemax_epilogue(acc2, tables)
+        return tuple(o[:num_simplices] for o in outs)
+
+    def _run_kernel(self, verts, weights, centers, radii, tight):
         num_simplices, k, dim = verts.shape
         r_count = weights.shape[0]
         # Bucket the simplex-block count to a power of two: the output shape
@@ -767,6 +859,7 @@ class PallasFloodEngine:
                         nsub=WCHUNK // SUB,
                         sub=SUB,
                         interpret=self.interpret,
+                        mxu=_mxu_enabled(),
                     )
             return acc
 
@@ -777,9 +870,17 @@ class PallasFloodEngine:
         # experiments: the host sync and padded phase-1 segment outweigh
         # the savings. The in-kernel nearest-first adaptive bound stays.)
         acc = run_pairs(pair_s_np, pair_c_np, acc)
+        return acc, sperm, num_simplices, s_total, r2_total
 
-        out = acc.reshape(s_total, r2_total)[:num_simplices]
-        # Undo the Morton sample permutation: column i holds original
-        # sample sperm[i].
-        inv = np.argsort(sperm)
-        return jnp.sqrt(out[:, jnp.asarray(inv)])
+
+@jax.jit
+def _max_sqrt_epilogue(acc2):
+    return jnp.sqrt(jnp.max(acc2, axis=-1))
+
+
+@jax.jit
+def _facemax_epilogue(acc2, tables):
+    return tuple(
+        jnp.sqrt(jnp.max(jnp.take(acc2, t, axis=1), axis=-1))
+        for t in tables
+    )

@@ -46,8 +46,10 @@ FPS_CHUNK = 8192
 FPS_MAX_POINTS = 100_000_000
 
 
-def fits_pallas_fps(n_points: int) -> bool:
-    return n_points <= FPS_MAX_POINTS
+def fits_pallas_fps(n_points: int, dim: int = 3) -> bool:
+    # _fps_prepare lays points out as (dim_pad=8, N); clouds with more
+    # dimensions fall back to the XLA loop rather than crash the reshape.
+    return n_points <= FPS_MAX_POINTS and dim <= 8
 
 
 def _x32_mode():
@@ -197,14 +199,14 @@ def _fps_call(
             num_scalar_prefetch=1,
             grid=(1,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             scratch_shapes=[
                 pltpu.VMEM((nchunks, 1), jnp.float32),

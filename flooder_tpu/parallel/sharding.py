@@ -251,7 +251,25 @@ class MeshPallasFloodEngine:
                 ps, pc = np.nonzero(a)
                 o = np.lexsort((d[ps, pc], ps))
                 ps, pc = ps[o].astype(np.int32), pc[o].astype(np.int32)
-                row.append((ps, pc))
+                # Padding pair for load balancing: SPMD forces every shard
+                # to run the busiest shard's segment count, so pad the
+                # shorter lists with an INACTIVE (block, chunk) pair — the
+                # ball test fails for every simplex in the block, the pair
+                # costs only its admission checks, and because it is
+                # constant Pallas never re-DMAs its blocks. Falls back to
+                # repeating the last pair when the shard's matrix is fully
+                # active (then its list is the global max anyway).
+                inact = np.nonzero(~a)
+                if len(inact[0]):
+                    j = int(np.argmax(d[inact]))  # farthest → cheapest
+                    padpair = (
+                        np.int32(inact[0][j]), np.int32(inact[1][j])
+                    )
+                elif len(ps):
+                    padpair = (ps[-1], pc[-1])
+                else:
+                    padpair = (np.int32(0), np.int32(0))
+                row.append((ps, pc, padpair))
                 max_pairs = max(max_pairs, len(ps))
             lists.append(row)
 
@@ -267,14 +285,11 @@ class MeshPallasFloodEngine:
         seg_f = np.zeros((n_ss, n_ws, L), dtype=np.int32)
         for si in range(n_ss):
             for wi in range(n_ws):
-                ps, pc = lists[si][wi]
-                if len(ps) == 0:
-                    ps = np.zeros(1, np.int32)
-                    pc = np.zeros(1, np.int32)
+                ps, pc, padpair = lists[si][wi]
                 if len(ps) != L:
                     pad = L - len(ps)
-                    ps = np.concatenate([ps, np.repeat(ps[-1:], pad)])
-                    pc = np.concatenate([pc, np.repeat(pc[-1:], pad)])
+                    ps = np.concatenate([ps, np.full(pad, padpair[0])])
+                    pc = np.concatenate([pc, np.full(pad, padpair[1])])
                 seg_s[si, wi] = ps
                 seg_c[si, wi] = pc
                 # first-visit flags are per LAUNCH (segment)
@@ -303,51 +318,66 @@ class MeshPallasFloodEngine:
         tile_lo_d = shard_s(tile_lo, 2)
         tile_hi_d = shard_s(tile_hi, 2)
         ub2_d = shard_s(ub2, 2)
+        # one partial-minimum copy per witness shard, combined once at the
+        # end (min over the witness-sharded axis → one ICI reduction)
         acc = jax.device_put(
-            jnp.full((s_total, nr, rt), jnp.inf, dtype=jnp.float32),
-            ns(mesh, P(SIMPLEX_AXIS, None, None)),
+            jnp.full((n_ws, s_total, nr, rt), jnp.inf, dtype=jnp.float32),
+            ns(mesh, P(WITNESS_AXIS, SIMPLEX_AXIS, None, None)),
         )
 
         interpret = self.interpret
         nsub = self.wchunk // pf.SUB
 
+        # ONE kernel launch per jitted program, looped at the Python level
+        # with the accumulator carried through (donated each call): the
+        # compiled program size is constant in the cloud's pair count, so
+        # clouds with different nseg reuse the same compiled segment body
+        # instead of recompiling an nseg-times-unrolled trace.
         def body(ss, sc, sf, smp, wit, cen, rad, tlo, thi, u2, a):
-            ss, sc, sf = ss[0, 0], sc[0, 0], sf[0, 0]
-            for g in range(nseg):
-                sl = slice(g * seg_len, (g + 1) * seg_len)
-                a = _flood_pairs_call(
-                    ss[sl], sc[sl], sf[sl], smp, wit, cen, rad,
-                    tlo, thi, u2, a,
-                    bs=BS, dim=dim, nsub=nsub, sub=pf.SUB,
-                    interpret=interpret,
-                )
-            # combine the per-witness-shard partial minima over ICI
-            return jax.lax.pmin(a, WITNESS_AXIS)
+            a = _flood_pairs_call(
+                ss[0, 0], sc[0, 0], sf[0, 0], smp, wit, cen, rad,
+                tlo, thi, u2, a[0],
+                bs=BS, dim=dim, nsub=nsub, sub=pf.SUB,
+                interpret=interpret, mxu=pf._mxu_enabled(),
+            )
+            return a[None]
 
-        fn = shard_map(
-            body,
-            mesh=mesh,
-            check_vma=False,
-            in_specs=(
-                P(SIMPLEX_AXIS, WITNESS_AXIS, None),
-                P(SIMPLEX_AXIS, WITNESS_AXIS, None),
-                P(SIMPLEX_AXIS, WITNESS_AXIS, None),
-                P(SIMPLEX_AXIS, None, None, None),
-                P(None, WITNESS_AXIS),
-                P(SIMPLEX_AXIS, None),
-                P(SIMPLEX_AXIS, None),
-                P(SIMPLEX_AXIS, None, None),
-                P(SIMPLEX_AXIS, None, None),
-                P(SIMPLEX_AXIS, None, None),
-                P(SIMPLEX_AXIS, None, None),
+        seg_fn = jax.jit(
+            shard_map(
+                body,
+                mesh=mesh,
+                check_vma=False,
+                in_specs=(
+                    P(SIMPLEX_AXIS, WITNESS_AXIS, None),
+                    P(SIMPLEX_AXIS, WITNESS_AXIS, None),
+                    P(SIMPLEX_AXIS, WITNESS_AXIS, None),
+                    P(SIMPLEX_AXIS, None, None, None),
+                    P(None, WITNESS_AXIS),
+                    P(SIMPLEX_AXIS, None),
+                    P(SIMPLEX_AXIS, None),
+                    P(SIMPLEX_AXIS, None, None),
+                    P(SIMPLEX_AXIS, None, None),
+                    P(SIMPLEX_AXIS, None, None),
+                    P(WITNESS_AXIS, SIMPLEX_AXIS, None, None),
+                ),
+                out_specs=P(WITNESS_AXIS, SIMPLEX_AXIS, None, None),
             ),
-            out_specs=P(SIMPLEX_AXIS, None, None),
+            donate_argnums=(10,),
+        )
+        combine = jax.jit(
+            lambda a: jnp.min(a, axis=0),
+            out_shardings=ns(mesh, P(SIMPLEX_AXIS, None, None)),
         )
         with _x32_mode():
-            out = fn(
-                seg_s_d, seg_c_d, seg_f_d, samples_d, self.witnesses,
-                centers_d, radii_d, tile_lo_d, tile_hi_d, ub2_d, acc,
-            )
+            for g in range(nseg):
+                sl = slice(g * seg_len, (g + 1) * seg_len)
+                acc = seg_fn(
+                    seg_s_d[:, :, sl], seg_c_d[:, :, sl], seg_f_d[:, :, sl],
+                    samples_d, self.witnesses, centers_d, radii_d,
+                    tile_lo_d, tile_hi_d, ub2_d, acc,
+                )
+            # combine the per-witness-shard partial minima over ICI
+            out = combine(acc)
 
         out = out.reshape(s_total, r2_total)[:num_simplices]
         inv = np.argsort(sperm)

@@ -312,6 +312,16 @@ class SimplexTree:
         reduction is over Z/2 (diagrams over different fields coincide for
         the geometric complexes this library builds in low dimension).
         """
+        if homology_coeff_field != 2:
+            import warnings
+
+            warnings.warn(
+                f"homology_coeff_field={homology_coeff_field} requested but "
+                "the reduction runs over Z/2; diagrams can differ in the "
+                "presence of torsion",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         self._flush()
         self._min_persistence = float(min_persistence)
         n = self.num_simplices()

@@ -86,3 +86,21 @@ def test_morton_codes_locality():
     chunks = sorted_pts.reshape(32, 128, 3)
     diag = np.linalg.norm(chunks.max(1) - chunks.min(1), axis=1)
     assert diag.mean() < 0.5 * np.sqrt(3)
+
+
+def test_pallas_mxu_path(monkeypatch):
+    """The experimental MXU tile formulation (|y|² − 2 y·x + |x|², cross
+    term on the systolic array) must agree with the coordinate-difference
+    form within its cancellation-error bound."""
+    monkeypatch.setenv("FLOODER_PALLAS_MXU", "1")
+    X = generate_noisy_torus_points_3d(1500, seed=42)
+    L = generate_landmarks(X, 100, start_idx=0)
+    fc_mxu = flood_complex(X, L, points_per_edge=10, use_pallas=True)
+    monkeypatch.setenv("FLOODER_PALLAS_MXU", "0")
+    fc_ref = flood_complex(X, L, points_per_edge=10, use_pallas=True)
+    assert set(fc_mxu) == set(fc_ref)
+    for s, v in fc_ref.items():
+        if np.isinf(v):
+            assert np.isinf(fc_mxu[s])
+        else:
+            assert fc_mxu[s] == pytest.approx(v, rel=2e-4, abs=1e-5)
