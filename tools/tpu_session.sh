@@ -1,0 +1,73 @@
+#!/bin/bash
+# Hardware measurement session for the round-3 pickup list. Run phases in
+# order; each phase is bounded and small-first so a failure surfaces at
+# the cheapest scale (the round-2 outage began with a long kernel killed
+# client-side — keep individual device programs short).
+#
+#   bash tools/tpu_session.sh phase1     # gates + quick bench
+#   bash tools/tpu_session.sh phase2     # FPS hardware validation + timing
+#   bash tools/tpu_session.sh phase3     # ordering / MXU / SUB sweeps
+#   bash tools/tpu_session.sh phase4     # full bench + stress configs
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p tpu_runs
+LOG=tpu_runs/session_$(date +%Y%m%d_%H%M%S)_$1.log
+exec > >(tee "$LOG") 2>&1
+date
+
+phase1() {
+  echo "== sanity =="
+  timeout 300 python -c "import jax,jax.numpy as jnp; print(jax.devices()); print(float(jnp.sum(jnp.ones((256,256)))))" || exit 1
+  echo "== entry compile check =="
+  timeout 600 python -c "import jax,__graft_entry__; fn,a=__graft_entry__.entry(); jax.jit(fn)(*a).block_until_ready(); print('ENTRY OK')" || exit 1
+  echo "== quick bench (1 rep) =="
+  FLOODER_BENCH_REPS=1 timeout 1200 python bench.py
+}
+
+phase2() {
+  echo "== FPS parity on hardware (small) =="
+  timeout 900 python -m pytest tests/test_landmarks.py::test_pallas_fps_matches_xla_on_tpu -x -q
+  echo "== FPS timing 1M/1k =="
+  timeout 900 python - <<'EOF'
+import time, jax, jax.numpy as jnp
+from flooder_tpu import generate_swiss_cheese_points
+from flooder_tpu.ops.pallas_fps import pallas_farthest_point_sampling
+pts,_,_ = generate_swiss_cheese_points(1_000_000, k=6, seed=42)
+pts = jnp.asarray(pts, jnp.float32)
+idx = pallas_farthest_point_sampling(pts, 1000, 0)  # compile
+idx.block_until_ready()
+for rep in range(3):
+    t0=time.perf_counter(); pallas_farthest_point_sampling(pts, 1000, 0).block_until_ready()
+    print(f"fps 1M/1k rep{rep}: {time.perf_counter()-t0:.4f}s")
+EOF
+  echo "== FPS timing 10M/2k =="
+  timeout 900 python - <<'EOF'
+import time, jax, jax.numpy as jnp
+from flooder_tpu import generate_swiss_cheese_points
+from flooder_tpu.ops.pallas_fps import pallas_farthest_point_sampling
+pts,_,_ = generate_swiss_cheese_points(10_000_000, k=6, seed=42)
+pts = jnp.asarray(pts, jnp.float32)
+pallas_farthest_point_sampling(pts, 2000, 0).block_until_ready()
+t0=time.perf_counter(); pallas_farthest_point_sampling(pts, 2000, 0).block_until_ready()
+print(f"fps 10M/2k: {time.perf_counter()-t0:.4f}s")
+EOF
+}
+
+phase3() {
+  for v in "" "FLOODER_WITNESS_ORDER=kd" "FLOODER_PALLAS_MXU=1" "FLOODER_PALLAS_SUB=256" "FLOODER_PALLAS_RT=256" "FLOODER_PALLAS_MXU=1 FLOODER_WITNESS_ORDER=kd"; do
+    echo "== bench sweep: [$v] =="
+    env $v FLOODER_BENCH_REPS=2 timeout 1500 python bench.py
+  done
+}
+
+phase4() {
+  echo "== full bench (3 reps) =="
+  timeout 1800 python bench.py
+  echo "== 2M x 10k stress =="
+  timeout 2400 python bench.py --points 2000000 --landmarks 10000 --reps 1
+  echo "== example_01 (incl. 10M row) =="
+  timeout 3600 python examples/example_01_cheese_3d.py --reps 1 || true
+}
+
+"$1"
+date
