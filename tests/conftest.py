@@ -3,17 +3,23 @@
 Tests must run without TPU hardware; multi-chip sharding paths are
 exercised on a virtual 8-device CPU mesh. This must happen before jax is
 imported anywhere.
+
+Set ``FLOODER_TEST_TPU=1`` to keep the real accelerator visible instead —
+this is how the hardware-gated tests (e.g. the on-TPU FPS parity case)
+are actually executed on a chip (tools/tpu_session.sh phase2).
 """
 
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+ON_TPU = bool(os.environ.get("FLOODER_TEST_TPU"))
+if not ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -22,4 +28,5 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # backend is initialized.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not ON_TPU:
+    jax.config.update("jax_platforms", "cpu")

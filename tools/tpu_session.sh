@@ -54,7 +54,17 @@ EOF
 }
 
 phase3() {
-  for v in "" "FLOODER_WITNESS_ORDER=kd" "FLOODER_PALLAS_MXU=1" "FLOODER_PALLAS_SUB=256" "FLOODER_PALLAS_RT=256" "FLOODER_PALLAS_MXU=1 FLOODER_WITNESS_ORDER=kd"; do
+  # RT sweeps change the MXU dot's N dimension: RT=8192 makes one tile
+  # span all samples, so the cross-term matmul is (SUB, d)x(d, ~5k) —
+  # amortized MXU issue at the cost of tile-granular skips.
+  for v in "" "FLOODER_WITNESS_ORDER=kd" "FLOODER_PALLAS_MXU=1" \
+           "FLOODER_PALLAS_MXU=1 FLOODER_PALLAS_RT=1024" \
+           "FLOODER_PALLAS_MXU=1 FLOODER_PALLAS_RT=2048" \
+           "FLOODER_PALLAS_MXU=1 FLOODER_PALLAS_RT=8192" \
+           "FLOODER_PALLAS_SUB=256" "FLOODER_PALLAS_RT=256" \
+           "FLOODER_PALLAS_SUB=256 FLOODER_PALLAS_RT=256" \
+           "FLOODER_WITNESS_ORDER=kd FLOODER_PALLAS_SUB=256" \
+           "FLOODER_PALLAS_MXU=1 FLOODER_WITNESS_ORDER=kd"; do
     echo "== bench sweep: [$v] =="
     env $v FLOODER_BENCH_REPS=2 timeout 1500 python bench.py
   done
