@@ -446,6 +446,13 @@ def _flood_pairs_call(
         # keep their previous values, touched blocks are re-seeded from
         # the accumulator at their first pair of this launch
         input_output_aliases={10: 0},
+        # wide-tile variants (RT sweep / batched MXU dot) carry (SUB, RT)
+        # f32 intermediates past the default 16MB scoped VMEM budget
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+            if rt > 2048
+            else None
+        ),
         interpret=interpret,
     )(
         pair_s, pair_c, pair_first, samples, witnesses, centers, radii,

@@ -26,7 +26,7 @@ phase1() {
 
 phase2() {
   echo "== FPS parity on hardware (small) =="
-  timeout 900 python -m pytest tests/test_landmarks.py::test_pallas_fps_matches_xla_on_tpu -x -q
+  FLOODER_TEST_TPU=1 timeout 900 python -m pytest tests/test_landmarks.py::test_pallas_fps_matches_xla_on_tpu -x -q
   echo "== FPS timing 1M/1k =="
   timeout 900 python - <<'EOF'
 import time, jax, jax.numpy as jnp
