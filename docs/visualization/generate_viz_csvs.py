@@ -25,6 +25,14 @@ sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
 )
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # honor a CPU-backend request at the config level too: the
+    # environment's sitecustomize may force-register an accelerator
+    # platform regardless of JAX_PLATFORMS
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from flooder_tpu import (

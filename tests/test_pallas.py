@@ -104,3 +104,21 @@ def test_pallas_mxu_path(monkeypatch):
             assert np.isinf(fc_mxu[s])
         else:
             assert fc_mxu[s] == pytest.approx(v, rel=2e-4, abs=1e-5)
+
+
+def test_pallas_kd_witness_order(monkeypatch):
+    """FLOODER_WITNESS_ORDER=kd (balanced k-d partition instead of Hilbert
+    runs) is a pure permutation of the witnesses — filtrations must be
+    identical to the default ordering."""
+    monkeypatch.setenv("FLOODER_WITNESS_ORDER", "kd")
+    X = generate_noisy_torus_points_3d(1500, seed=7)
+    L = generate_landmarks(X, 100, start_idx=0)
+    fc_kd = flood_complex(X, L, points_per_edge=10, use_pallas=True)
+    monkeypatch.delenv("FLOODER_WITNESS_ORDER")
+    fc_ref = flood_complex(X, L, points_per_edge=10, use_pallas=True)
+    assert set(fc_kd) == set(fc_ref)
+    for s, v in fc_ref.items():
+        if np.isinf(v):
+            assert np.isinf(fc_kd[s])
+        else:
+            assert fc_kd[s] == pytest.approx(v, abs=1e-5)
