@@ -20,7 +20,13 @@ import numpy as np
 BASELINE_SECONDS = 1.4  # reference H100 NVL, docs/index.md:42-49
 
 
-def run(n_points: int, n_landmarks: int, reps: int, warmup: bool = True):
+def run(
+    n_points: int,
+    n_landmarks: int,
+    reps: int,
+    warmup: bool = True,
+    stages: bool = False,
+):
     import jax
 
     from flooder_tpu import flood_complex, generate_swiss_cheese_points
@@ -42,9 +48,32 @@ def run(n_points: int, n_landmarks: int, reps: int, warmup: bool = True):
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        stree = flood_complex(pts, n_landmarks, return_simplex_tree=True)
-        stree.compute_persistence()
-        _ = [stree.persistence_intervals_in_dimension(i) for i in range(3)]
+        if stages:
+            from flooder_tpu import generate_landmarks
+
+            lms = generate_landmarks(pts, n_landmarks, start_idx=0)
+            lms.block_until_ready()
+            t_fps = time.perf_counter()
+            stree = flood_complex(
+                pts, lms, return_simplex_tree=True, landmarks_in_cloud=True
+            )
+            t_build = time.perf_counter()
+            stree.compute_persistence()
+            _ = [
+                stree.persistence_intervals_in_dimension(i) for i in range(3)
+            ]
+            t_ph = time.perf_counter()
+            print(
+                f"# stages: fps={t_fps - t0:.3f}s "
+                f"build={t_build - t_fps:.3f}s ph={t_ph - t_build:.3f}s",
+                file=sys.stderr,
+            )
+        else:
+            stree = flood_complex(pts, n_landmarks, return_simplex_tree=True)
+            stree.compute_persistence()
+            _ = [
+                stree.persistence_intervals_in_dimension(i) for i in range(3)
+            ]
         times.append(time.perf_counter() - t0)
     return float(np.median(times)), times
 
@@ -58,7 +87,12 @@ def _device_healthy(timeout_s: int = 150) -> bool:
     import subprocess
 
     code = (
-        "import jax, jax.numpy as jnp;"
+        # honor a CPU-backend request at the config level (sitecustomize
+        # may force-register an accelerator regardless of JAX_PLATFORMS)
+        "import os, jax;"
+        "os.environ.get('JAX_PLATFORMS') == 'cpu' and "
+        "jax.config.update('jax_platforms', 'cpu');"
+        "import jax.numpy as jnp;"
         "print('HEALTHY', float(jnp.sum(jnp.ones((64, 64)))))"
     )
     try:
@@ -84,6 +118,11 @@ def main():
         type=int,
         default=int(os.environ.get("FLOODER_BENCH_REPS", 3)),
     )
+    ap.add_argument(
+        "--stages",
+        action="store_true",
+        help="print a per-rep FPS/build/PH stage split on stderr",
+    )
     args = ap.parse_args()
 
     if not _device_healthy():
@@ -94,7 +133,8 @@ def main():
         )
         sys.exit(3)
 
-    value, times = run(args.points, args.landmarks, args.reps)
+    value, times = run(args.points, args.landmarks, args.reps,
+                       stages=args.stages)
     print(
         json.dumps(
             {

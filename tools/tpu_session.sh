@@ -22,6 +22,8 @@ phase1() {
   timeout 600 python -c "import jax,__graft_entry__; fn,a=__graft_entry__.entry(); jax.jit(fn)(*a).block_until_ready(); print('ENTRY OK')" || exit 1
   echo "== quick bench (1 rep) =="
   FLOODER_BENCH_REPS=1 timeout 1200 python bench.py
+  echo "== stage split =="
+  FLOODER_BENCH_REPS=1 timeout 1200 python bench.py --stages
 }
 
 phase2() {
