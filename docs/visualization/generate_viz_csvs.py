@@ -87,15 +87,25 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=1_000_000)
     ap.add_argument("--landmarks", type=int, default=1000)
+    ap.add_argument(
+        "--only", choices=["torus", "cheese", "washer"], default=None,
+        help="generate a single dataset (the washer's sliver tetrahedra "
+        "make it much slower than the others on CPU)",
+    )
     args = ap.parse_args()
 
     out_root = os.path.dirname(os.path.abspath(__file__))
-    torus = generate_noisy_torus_points_3d(args.points, seed=42)
-    dump("torus", torus, out_root, args.landmarks)
-    cheese, _, _ = generate_swiss_cheese_points(args.points, k=6, seed=42)
-    dump("cheese", cheese, out_root, args.landmarks)
-    dump("washer", washer_points(args.points, seed=42), out_root,
-         args.landmarks)
+    if args.only in (None, "torus"):
+        torus = generate_noisy_torus_points_3d(args.points, seed=42)
+        dump("torus", torus, out_root, args.landmarks)
+    if args.only in (None, "cheese"):
+        cheese, _, _ = generate_swiss_cheese_points(
+            args.points, k=6, seed=42
+        )
+        dump("cheese", cheese, out_root, args.landmarks)
+    if args.only in (None, "washer"):
+        dump("washer", washer_points(args.points, seed=42), out_root,
+             args.landmarks)
 
 
 if __name__ == "__main__":
