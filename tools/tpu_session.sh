@@ -79,6 +79,8 @@ phase4() {
   timeout 2400 python bench.py --points 2000000 --landmarks 10000 --reps 1
   echo "== example_01 (incl. 10M row) =="
   timeout 3600 python examples/example_01_cheese_3d.py --reps 1 || true
+  echo "== example_03 (40M 2-D figure-eight) =="
+  timeout 3600 python examples/example_03_figure_eight_2d.py || true
 }
 
 "$1"
