@@ -204,13 +204,44 @@ class MeshPallasFloodEngine:
 
     def min_distances(self, verts, weights, centers, radii, batch_size,
                       tight=False):
+        del batch_size
+        out, sperm, num_simplices, s_total, r2_total = self._run_kernel(
+            verts, weights, centers, radii, tight
+        )
+        out = out.reshape(s_total, r2_total)[:num_simplices]
+        inv = np.argsort(sperm)
+        return jnp.sqrt(out[:, jnp.asarray(inv)])
+
+    def min_distances_facemax(
+        self, verts, weights, centers, radii, batch_size, tight=False,
+        face_tables=None,
+    ):
+        """Fused face-max epilogue on the combined squared minima (same
+        contract as ``PallasFloodEngine.min_distances_facemax``)."""
+        from ..ops.pallas_flood import _facemax_epilogue, _max_sqrt_epilogue
+
+        del batch_size
+        out, sperm, num_simplices, s_total, r2_total = self._run_kernel(
+            verts, weights, centers, radii, tight
+        )
+        acc2 = out.reshape(s_total, r2_total)
+        if face_tables is None:
+            return _max_sqrt_epilogue(acc2)[:num_simplices]
+        inv = np.argsort(sperm)
+        tables = tuple(
+            jnp.asarray(inv[np.asarray(t, dtype=np.int64)], dtype=jnp.int32)
+            for t in face_tables
+        )
+        outs = _facemax_epilogue(acc2, tables)
+        return tuple(o[:num_simplices] for o in outs)
+
+    def _run_kernel(self, verts, weights, centers, radii, tight):
         from ..ops import pallas_flood as pf
         from ..ops.pallas_flood import (
             BS, _flood_pairs_call, _pad_simplices, _prep,
             _prepare_sample_weights, _tile_geometry, _x32_mode,
         )
 
-        del batch_size
         mesh = self.mesh
         n_ss = mesh.shape[SIMPLEX_AXIS]
         n_ws = mesh.shape[WITNESS_AXIS]
@@ -379,9 +410,7 @@ class MeshPallasFloodEngine:
             # combine the per-witness-shard partial minima over ICI
             out = combine(acc)
 
-        out = out.reshape(s_total, r2_total)[:num_simplices]
-        inv = np.argsort(sperm)
-        return jnp.sqrt(out[:, jnp.asarray(inv)])
+        return out, sperm, num_simplices, s_total, r2_total
 
 
 class MeshFloodEngine:
