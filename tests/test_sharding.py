@@ -79,3 +79,26 @@ def test_sharded_rand_mode():
     fc_mesh = flood_complex(X, L, num_rand=128, points_per_edge=None, mesh=mesh)
     for simplex, val in fc_single.items():
         assert fc_mesh[simplex] == pytest.approx(val, abs=2e-6, nan_ok=True)
+
+
+def test_pallas_mesh_engine_rand_mode():
+    """Random-sample mode through the Pallas mesh engine (exercises the
+    fused max epilogue with face_tables=None on the combined minima)."""
+    X = generate_noisy_torus_points_3d(1200, seed=3)
+    L = generate_landmarks(X, 48, start_idx=0)
+    np.random.seed(7)
+    fc_single = flood_complex(
+        X, L, num_rand=128, points_per_edge=None, use_pallas=False
+    )
+    mesh = make_mesh(simplex_parallel=4)
+    np.random.seed(7)
+    fc_mesh = flood_complex(
+        X, L, num_rand=128, points_per_edge=None, mesh=mesh, use_pallas=True
+    )
+    assert set(fc_single) == set(fc_mesh)
+    for simplex, val in fc_single.items():
+        got = fc_mesh[simplex]
+        if np.isinf(val):
+            assert np.isinf(got)
+        else:
+            assert got == pytest.approx(val, abs=2e-6)
