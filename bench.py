@@ -128,7 +128,10 @@ def main():
     if not _device_healthy():
         print(
             "bench: accelerator unresponsive (trivial op timed out); "
-            "refusing to run — no measurement produced",
+            "refusing to run — no measurement produced. Hardware program "
+            "is scripted in tools/tpu_session.sh; CPU-side validation "
+            "results in tpu_runs/ (work-volume model, full-size 2M x 10k "
+            "stress pass).",
             file=sys.stderr,
         )
         sys.exit(3)
