@@ -816,23 +816,36 @@ class PallasFloodEngine:
 
         radii2 = radii[:, None]
 
-        def run_pairs(ps_np, pc_np, acc):
+        def run_pairs(ps_np, pc_np, acc, seg_cap=None, pad_pair=None):
             """Run a (block-major, already-ordered) pair list through the
             kernel in fixed-size segments. Scalar-prefetch operands live in
             the chip's 1MB SMEM, and a fixed segment length keeps the grid
             (a compile key) stable across clouds. The running min is
             carried across launches through the aliased accumulator;
-            blocks untouched by every segment simply keep their values."""
+            blocks untouched by every segment simply keep their values.
+
+            ``seg_cap`` right-sizes the segment for short lists (the
+            two-phase refresh's phase A); ``pad_pair`` pads with an
+            inactive (block, chunk) pair — admission fails instantly and
+            Pallas never re-DMAs a constant pair — instead of repeating
+            real work."""
             seg_len = PAIR_SEGMENT
-            if self.interpret:
-                # interpreter: no compile cache to protect — right-size
+            if self.interpret or seg_cap is not None:
+                # interpreter / short phase: right-size the segment
                 seg_len = max(256, 1 << max(0, len(ps_np) - 1).bit_length())
                 seg_len = min(seg_len, PAIR_SEGMENT)
             nseg = max(1, -(-len(ps_np) // seg_len))
             total_pairs = nseg * seg_len
             if total_pairs != len(ps_np):
                 pad = total_pairs - len(ps_np)
-                if len(ps_np):
+                if pad_pair is not None:
+                    ps_np = np.concatenate(
+                        [ps_np, np.full(pad, pad_pair[0], np.int32)]
+                    )
+                    pc_np = np.concatenate(
+                        [pc_np, np.full(pad, pad_pair[1], np.int32)]
+                    )
+                elif len(ps_np):
                     # repeat the last pair: the min-fold is idempotent
                     ps_np = np.concatenate([ps_np, np.repeat(ps_np[-1:], pad)])
                     pc_np = np.concatenate([pc_np, np.repeat(pc_np[-1:], pad)])
@@ -871,13 +884,63 @@ class PallasFloodEngine:
             return acc
 
         acc = jnp.full((s_total, nr, rt), jnp.inf, dtype=jnp.float32)
-        # (A two-phase bound-refresh variant — run nearest chunks, read
-        # back realized bounds, re-filter the rest — was measured slower
-        # than the in-kernel adaptive skip in both round-1 and round-2
-        # experiments: the host sync and padded phase-1 segment outweigh
-        # the savings. The in-kernel nearest-first adaptive bound stays.)
-        acc = run_pairs(pair_s_np, pair_c_np, acc)
+        # Earlier two-phase attempts (rounds 1-2) were slower because the
+        # phase-A segment padded with REPEATED real pairs (≈10x phase-A
+        # work) and the refresh re-ran the whole work-list. This variant
+        # pads with an inactive pair and DROPS pairs whose (block, chunk)
+        # gap exceeds the realized bound — the adaptive-floor analysis
+        # (tools/adaptive_floor.py) shows converged bounds admit ~4x less
+        # tile work than the static bound the work-list is built from.
+        # Off by default pending the hardware sweep.
+        if (
+            _os.environ.get("FLOODER_PALLAS_PHASES", "1") == "2"
+            and len(pair_s_np)
+        ):
+            inact = np.argwhere(~active)
+            pad_pair = tuple(inact[-1]) if len(inact) else None
+            # phase A: the nearest chunk of every block
+            first = np.concatenate(
+                [[True], pair_s_np[1:] != pair_s_np[:-1]]
+            )
+            acc = run_pairs(
+                pair_s_np[first], pair_c_np[first], acc,
+                seg_cap=True, pad_pair=pad_pair,
+            )
+            # realized per-simplex bounds from the accumulator
+            pm = np.asarray(_block_bounds(acc))  # (S_total,)
+            ub2max_new = np.minimum(
+                pm, np.asarray(ub2[:, :, 0].max(axis=1))
+            )
+            samp_lo_g = np.asarray(jnp.min(tile_lo, axis=1)) + np.asarray(
+                centers
+            )
+            samp_hi_g = np.asarray(jnp.max(tile_hi, axis=1)) + np.asarray(
+                centers
+            )
+            active2, pairdist2 = jax.device_get(_active_pairs_matrix(
+                centers, radii, jnp.asarray(samp_lo_g),
+                jnp.asarray(samp_hi_g), jnp.asarray(ub2max_new),
+                self.chunk_lo, self.chunk_hi, self.wchunk, BS,
+            ))
+            active2 = np.array(active2)  # device_get gives read-only views
+            active2[pair_s_np[first], pair_c_np[first]] = False
+            ps2, pc2 = np.nonzero(active2)
+            if len(ps2):
+                o2 = np.lexsort((pairdist2[ps2, pc2], ps2))
+                acc = run_pairs(
+                    ps2[o2].astype(np.int32), pc2[o2].astype(np.int32),
+                    acc, pad_pair=pad_pair,
+                )
+        else:
+            acc = run_pairs(pair_s_np, pair_c_np, acc)
         return acc, sperm, num_simplices, s_total, r2_total
+
+
+@jax.jit
+def _block_bounds(acc):
+    """Realized per-simplex upper bound: the max running min over all of
+    the simplex's samples (converged after the nearest chunk)."""
+    return jnp.max(jnp.max(acc, axis=2), axis=1)
 
 
 @jax.jit

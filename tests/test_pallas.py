@@ -122,3 +122,21 @@ def test_pallas_kd_witness_order(monkeypatch):
             assert np.isinf(fc_kd[s])
         else:
             assert fc_kd[s] == pytest.approx(v, abs=1e-5)
+
+
+def test_pallas_two_phase_refresh(monkeypatch):
+    """FLOODER_PALLAS_PHASES=2 (run nearest chunks, refresh bounds, drop
+    pairs the realized bound excludes) must be lossless: dropped pairs
+    provably cannot lower any running min."""
+    monkeypatch.setenv("FLOODER_PALLAS_PHASES", "2")
+    X = generate_noisy_torus_points_3d(1500, seed=11)
+    L = generate_landmarks(X, 120, start_idx=0)
+    fc_2p = flood_complex(X, L, points_per_edge=10, use_pallas=True)
+    monkeypatch.delenv("FLOODER_PALLAS_PHASES")
+    fc_ref = flood_complex(X, L, points_per_edge=10, use_pallas=True)
+    assert set(fc_2p) == set(fc_ref)
+    for s, v in fc_ref.items():
+        if np.isinf(v):
+            assert np.isinf(fc_2p[s])
+        else:
+            assert fc_2p[s] == pytest.approx(v, abs=1e-6)

@@ -127,12 +127,35 @@ def main():
         tgap2 = np.sum(tgap * tgap, axis=-1)  # (U, NR)
         floor_tiles += int((tgap2 <= bound[sidx2]).sum())
 
+    # pair-level: how many work-list pairs survive when the per-simplex
+    # static bound is replaced by the converged bound? (a two-phase
+    # bound-refresh pass would skip the dropped pairs' launches entirely)
+    bound_max = bound.max(axis=1)  # (S,) converged per-simplex bound
+    samp_lo_g = np.asarray(jnp.min(tile_lo, axis=1)) + cen
+    samp_hi_g = np.asarray(jnp.max(tile_hi, axis=1)) + cen
+    chunk_lo = np.asarray(engine.chunk_lo)
+    chunk_hi = np.asarray(engine.chunk_hi)
+    c3 = cen.reshape(n_sblocks, pf.BS, 1, 3)
+    r3 = rad.reshape(n_sblocks, pf.BS, 1)
+    nearest = np.clip(c3, chunk_lo[None, None], chunk_hi[None, None])
+    hit = (np.sum((c3 - nearest) ** 2, axis=-1) <= r3 * r3) & (r3 > 0)
+    gapc = np.maximum(
+        np.maximum(chunk_lo[None, None] - samp_hi_g.reshape(n_sblocks, pf.BS, 1, 3),
+                   samp_lo_g.reshape(n_sblocks, pf.BS, 1, 3) - chunk_hi[None, None]),
+        0.0,
+    )
+    gapc2 = np.sum(gapc * gapc, axis=-1)
+    hit &= gapc2 <= bound_max.reshape(n_sblocks, pf.BS, 1)
+    pairs_converged = int(np.any(hit, axis=1).sum())
+
     flops_per_tile = pf.SUB * rt * (2 * 3 + 1)
     print(json.dumps({
         "points": n_points,
         "landmarks": n_landmarks,
         "floor_tile_units": int(floor_tiles),
         "floor_tflops": round(floor_tiles * flops_per_tile / 1e12, 3),
+        "pairs_static": int(len(pair_s)),
+        "pairs_converged_bound": pairs_converged,
         "note": "ceiling (static-only) in wv_1m_hilbert.json; real kernel "
                 "work lies between floor and ceiling",
     }))

@@ -66,6 +66,9 @@ phase3() {
            "FLOODER_PALLAS_SUB=256" "FLOODER_PALLAS_RT=256" \
            "FLOODER_PALLAS_SUB=256 FLOODER_PALLAS_RT=256" \
            "FLOODER_WITNESS_ORDER=kd FLOODER_PALLAS_SUB=256" \
+           "FLOODER_PALLAS_PHASES=2" \
+           "FLOODER_PALLAS_PHASES=2 FLOODER_PALLAS_MXU=1" \
+           "FLOODER_PALLAS_PHASES=2 FLOODER_PALLAS_SUB=256" \
            "FLOODER_PALLAS_MXU=1 FLOODER_WITNESS_ORDER=kd"; do
     echo "== bench sweep: [$v] =="
     env $v FLOODER_BENCH_REPS=2 timeout 1500 python bench.py
