@@ -195,7 +195,18 @@ def generate_landmarks(
         # fused on-chip greedy loop (~10x the XLA fori_loop on TPU)
         from .ops.pallas_fps import pallas_farthest_point_sampling
 
-        idx = pallas_farthest_point_sampling(pts, n_lms, start_idx)
+        try:
+            idx = pallas_farthest_point_sampling(pts, n_lms, start_idx)
+        except Exception as e:  # pragma: no cover - hardware-dependent
+            # Mosaic lowering/compile failures surface on the first call
+            # for a new shape; the XLA loop is slower but always works.
+            warnings.warn(
+                f"Pallas FPS kernel failed ({type(e).__name__}); "
+                "falling back to the XLA loop",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            idx = farthest_point_sampling(pts, n_lms, start_idx)
     else:
         idx = farthest_point_sampling(pts, n_lms, start_idx)
     return pts[idx]
