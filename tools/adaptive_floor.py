@@ -22,6 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    import argparse
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -34,7 +36,11 @@ def main():
     from flooder_tpu.ops.flood import DenseFloodEngine
     from flooder_tpu.topology import DelaunayComplex
 
-    n_points, n_landmarks = 1_000_000, 1000
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=1_000_000)
+    ap.add_argument("--landmarks", type=int, default=1000)
+    args = ap.parse_args()
+    n_points, n_landmarks = args.points, args.landmarks
     pts, _, _ = generate_swiss_cheese_points(n_points, k=6, seed=42)
     pts = jnp.asarray(pts, jnp.float32)
     lms = generate_landmarks(pts, n_landmarks, start_idx=0)
