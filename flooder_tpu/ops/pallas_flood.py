@@ -898,10 +898,18 @@ class PallasFloodEngine:
         ):
             inact = np.argwhere(~active)
             pad_pair = tuple(inact[-1]) if len(inact) else None
-            # phase A: the nearest chunk of every block
-            first = np.concatenate(
+            # phase A: the K nearest chunks of every block (K=1 default;
+            # larger K tightens the realized bound at more phase-A cost)
+            k_a = max(1, int(_os.environ.get("FLOODER_PALLAS_PHASEA", "1")))
+            newblk = np.concatenate(
                 [[True], pair_s_np[1:] != pair_s_np[:-1]]
             )
+            # rank of each pair within its block (pairs are block-major,
+            # nearest-first)
+            blk_start = np.maximum.accumulate(
+                np.where(newblk, np.arange(len(pair_s_np)), 0)
+            )
+            first = (np.arange(len(pair_s_np)) - blk_start) < k_a
             acc = run_pairs(
                 pair_s_np[first], pair_c_np[first], acc,
                 seg_cap=True, pad_pair=pad_pair,

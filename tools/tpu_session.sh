@@ -67,6 +67,7 @@ phase3() {
            "FLOODER_PALLAS_SUB=256 FLOODER_PALLAS_RT=256" \
            "FLOODER_WITNESS_ORDER=kd FLOODER_PALLAS_SUB=256" \
            "FLOODER_PALLAS_PHASES=2" \
+           "FLOODER_PALLAS_PHASES=2 FLOODER_PALLAS_PHASEA=3" \
            "FLOODER_PALLAS_PHASES=2 FLOODER_PALLAS_MXU=1" \
            "FLOODER_PALLAS_PHASES=2 FLOODER_PALLAS_SUB=256" \
            "FLOODER_PALLAS_MXU=1 FLOODER_WITNESS_ORDER=kd"; do
