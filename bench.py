@@ -41,8 +41,20 @@ def run(
         # compile-warm with the FULL shapes (kernel compile keys include
         # array sizes; a small-prefix warmup would leave the timed reps
         # cold). The reference warms up analogously before timing
-        # (examples/example_01_cheese_3d.py:78-82).
-        st = flood_complex(pts, n_landmarks, return_simplex_tree=True)
+        # (examples/example_01_cheese_3d.py:78-82). In --stages mode the
+        # warmup must follow the SAME explicit-landmark / tight=True call
+        # sequence as the measured reps, or the first staged rep pays the
+        # landmarks_in_cloud kernel's JIT compile.
+        if stages:
+            from flooder_tpu import generate_landmarks
+
+            lms_w = generate_landmarks(pts, n_landmarks, start_idx=0)
+            lms_w.block_until_ready()
+            st = flood_complex(
+                pts, lms_w, return_simplex_tree=True, landmarks_in_cloud=True
+            )
+        else:
+            st = flood_complex(pts, n_landmarks, return_simplex_tree=True)
         st.compute_persistence()
 
     times = []

@@ -830,10 +830,17 @@ class PallasFloodEngine:
             Pallas never re-DMAs a constant pair — instead of repeating
             real work."""
             seg_len = PAIR_SEGMENT
-            if self.interpret or seg_cap is not None:
-                # interpreter / short phase: right-size the segment
+            if self.interpret:
+                # interpreter: right-size the segment (no compile cache
+                # to protect; smaller grids keep tests fast)
                 seg_len = max(256, 1 << max(0, len(ps_np) - 1).bit_length())
                 seg_len = min(seg_len, PAIR_SEGMENT)
+            elif seg_cap is not None:
+                # short phase (two-phase refresh phase A): ONE fixed
+                # length — the grid is a Mosaic compile key, so a
+                # per-call power-of-two bucket would cold-compile every
+                # phase-A size class
+                seg_len = min(PAIR_SEGMENT, 2048)
             nseg = max(1, -(-len(ps_np) // seg_len))
             total_pairs = nseg * seg_len
             if total_pairs != len(ps_np):
@@ -896,8 +903,18 @@ class PallasFloodEngine:
             _os.environ.get("FLOODER_PALLAS_PHASES", "1") == "2"
             and len(pair_s_np)
         ):
-            inact = np.argwhere(~active)
-            pad_pair = tuple(inact[-1]) if len(inact) else None
+            # Pad pair must come from a FULLY-inactive block (usually a
+            # zero-radius padding block): an inactive entry of a block
+            # with real pairs in the same segment would be a
+            # non-consecutive revisit whose first-visit reseed races the
+            # block's earlier write-back within one launch. When every
+            # block has active pairs (num_simplices exactly fills
+            # n_sblocks*BS), fall back to run_pairs' repeat-last-pair
+            # padding (same block → first flag stays 0 → no reseed).
+            inact_rows = np.nonzero(~active.any(axis=1))[0]
+            pad_pair = (
+                (int(inact_rows[0]), 0) if len(inact_rows) else None
+            )
             # phase A: the K nearest chunks of every block (K=1 default;
             # larger K tightens the realized bound at more phase-A cost)
             k_a = max(1, int(_os.environ.get("FLOODER_PALLAS_PHASEA", "1")))

@@ -284,17 +284,24 @@ class MeshPallasFloodEngine:
                 ps, pc = ps[o].astype(np.int32), pc[o].astype(np.int32)
                 # Padding pair for load balancing: SPMD forces every shard
                 # to run the busiest shard's segment count, so pad the
-                # shorter lists with an INACTIVE (block, chunk) pair — the
+                # shorter lists with an inactive (block, chunk) pair — the
                 # ball test fails for every simplex in the block, the pair
                 # costs only its admission checks, and because it is
-                # constant Pallas never re-DMAs its blocks. Falls back to
-                # repeating the last pair when the shard's matrix is fully
-                # active (then its list is the global max anyway).
-                inact = np.nonzero(~a)
-                if len(inact[0]):
-                    j = int(np.argmax(d[inact]))  # farthest → cheapest
+                # constant Pallas never re-DMAs its blocks. The pad block
+                # must be FULLY inactive (no active pairs anywhere in the
+                # shard): a pad from a merely-inactive entry of a block
+                # with real pairs earlier in the same segment would be a
+                # non-consecutive revisit — its first-visit flag reseeds
+                # out_ref from the aliased accumulator, whose write-back
+                # from the earlier visit is not ordered against this
+                # input DMA within one launch. Falls back to repeating the
+                # last real pair (same block → first flag stays 0, the
+                # min-fold is idempotent) when every block has real pairs.
+                inact_rows = np.nonzero(~a.any(axis=1))[0]
+                if len(inact_rows):
+                    r0 = int(inact_rows[0])
                     padpair = (
-                        np.int32(inact[0][j]), np.int32(inact[1][j])
+                        np.int32(r0), np.int32(int(np.argmax(d[r0]))),
                     )
                 elif len(ps):
                     padpair = (ps[-1], pc[-1])
