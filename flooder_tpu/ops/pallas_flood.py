@@ -950,6 +950,18 @@ class PallasFloodEngine:
             active2 = np.array(active2)  # device_get gives read-only views
             active2[pair_s_np[first], pair_c_np[first]] = False
             ps2, pc2 = np.nonzero(active2)
+            # cost-model instrumentation (tiny; pinned by
+            # tests/test_pallas.py::test_two_phase_structure)
+            self._phase_stats = {
+                "static": (pair_s_np.copy(), pair_c_np.copy()),
+                "static_pairs": int(len(pair_s_np)),
+                "phase_a": (
+                    pair_s_np[first].copy(), pair_c_np[first].copy()
+                ),
+                "phase_b": (ps2.copy(), pc2.copy()),
+                "pairdist": pairdist,
+                "k_a": k_a,
+            }
             if len(ps2):
                 o2 = np.lexsort((pairdist2[ps2, pc2], ps2))
                 acc = run_pairs(

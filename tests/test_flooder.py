@@ -9,11 +9,11 @@ build, with configs right-sized for CPU CI:
 - the filtered-complex invariant (test_filtration_condition),
 - float32/float64 consistency (test_float64).
 
-Full-size reference configs (1000 pts / ppe 130 / 20k rand, tolerance 5e-4)
-run under FLOODER_SLOW_TESTS=1.
+The reference-size oracle configuration (1000 pts / ppe 130 / 20k rand,
+tolerance 5e-4) runs in the default suite (test_vs_alpha_full, ~40 s on
+the native CPU kernel); test_vs_alpha is a faster small-config tier that
+additionally varies batch_size.
 """
-
-import os
 
 import numpy as np
 import pytest
@@ -26,8 +26,6 @@ from flooder_tpu import (
     generate_swiss_cheese_points,
 )
 from flooder_tpu.topology import AlphaComplex, SimplexTree, bottleneck_distance
-
-SLOW = bool(os.environ.get("FLOODER_SLOW_TESTS"))
 
 
 def _alpha_diagrams(X, dims=2):
@@ -49,7 +47,7 @@ def test_vs_alpha(use_rand, batch_size):
     """With landmarks == points, Flood PH must match Alpha PH (oracle test;
     reference test_vs_alpha uses 1000 pts/ppe 130/5e-4 on GPU — here scaled
     to 600 pts/ppe 80 with tolerance 1e-3 to fit single-core CPU CI; the
-    full-size configuration runs in test_vs_alpha_full)."""
+    full-size configuration runs in test_vs_alpha_full, default suite)."""
     np.random.seed(42)
     X = generate_figure_eight_points_2d(600, seed=42)
     if use_rand:
@@ -69,7 +67,6 @@ def test_vs_alpha(use_rand, batch_size):
         )
 
 
-@pytest.mark.skipif(not SLOW, reason="full-size oracle test (set FLOODER_SLOW_TESTS=1)")
 @pytest.mark.parametrize("use_rand", [True, False])
 def test_vs_alpha_full(use_rand):
     """Reference-size oracle test (test_vs_alpha, 1000 pts, tolerance 5e-4)."""

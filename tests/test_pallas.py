@@ -124,6 +124,58 @@ def test_pallas_kd_witness_order(monkeypatch):
             assert fc_kd[s] == pytest.approx(v, abs=1e-5)
 
 
+def test_two_phase_structure(monkeypatch):
+    """Cost-model pin for the two-phase refresh (verdict r3 #6): phase A
+    runs exactly the K nearest chunks of every live block, phase B never
+    revisits a phase-A pair, and the refreshed bound actually DROPS pairs
+    (phase A + phase B < the static work-list) — not just value parity."""
+    from flooder_tpu.ops.pallas_flood import PallasFloodEngine
+
+    monkeypatch.setenv("FLOODER_PALLAS_PHASES", "2")
+    captured = {}
+
+    def _capture(pts, wc):
+        captured["e"] = PallasFloodEngine(pts, wc)
+        return captured["e"]
+
+    # 6000 points span 4 witness chunks (WCHUNK=2048, bucketed), so blocks
+    # have several active chunks and the refreshed bound has pairs to drop
+    X = generate_noisy_torus_points_3d(6000, seed=11)
+    L = generate_landmarks(X, 150, start_idx=0)
+    flood_complex(
+        X, L, points_per_edge=10, landmarks_in_cloud=True,
+        _engine_override=_capture,
+    )
+    stats = captured["e"]._phase_stats
+    ps, pc = stats["static"]
+    pa_s, pa_c = stats["phase_a"]
+    pb_s, pb_c = stats["phase_b"]
+    d = stats["pairdist"]
+    k_a = stats["k_a"]
+
+    # phase A = the k_a nearest chunks of each live block, exactly
+    import collections
+
+    by_block = collections.defaultdict(list)
+    for s, c in zip(ps, pc):
+        by_block[int(s)].append(int(c))
+    expect_a = set()
+    for s, chunks in by_block.items():
+        near = sorted(chunks, key=lambda c: d[s, c])[:k_a]
+        expect_a.update((s, c) for c in near)
+    got_a = set(zip(pa_s.tolist(), pa_c.tolist()))
+    assert got_a == expect_a
+
+    # phase B ⊆ static ∖ phase A (phase-A pairs are never revisited)
+    static = set(zip(ps.tolist(), pc.tolist()))
+    got_b = set(zip(pb_s.tolist(), pb_c.tolist()))
+    assert got_b.isdisjoint(got_a)
+    assert got_b <= static - got_a
+
+    # the realized bound must actually shrink the work-list
+    assert len(got_a) + len(got_b) < len(static)
+
+
 def test_pallas_two_phase_refresh(monkeypatch):
     """FLOODER_PALLAS_PHASES=2 (run nearest chunks, refresh bounds, drop
     pairs the realized bound excludes) must be lossless: dropped pairs
