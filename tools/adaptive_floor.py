@@ -155,6 +155,113 @@ def main():
     pairs_converged = int(np.any(hit, axis=1).sum())
 
     flops_per_tile = pf.SUB * rt * (2 * 3 + 1)
+
+    # ------------------------------------------------------------------
+    # Two-phase refresh pricing (verdict r3 #5c): simulate phase A exactly
+    # as production runs it (FLOODER_PALLAS_PHASES=2, K nearest chunks per
+    # live block), derive the REALIZED bounds from exact phase-A-chunk
+    # distances, rebuild the phase-B work-list the way the engine does,
+    # and price the launches so the hardware decision rule has a prior.
+    # ------------------------------------------------------------------
+    import time as _time
+
+    pairdist = np.asarray(jax.device_get(pairdist_d))
+    k_a = int(os.environ.get("FLOODER_PALLAS_PHASEA", "1"))
+    o = np.lexsort((pairdist[pair_s, pair_c], pair_s))
+    ps_o, pc_o = pair_s[o], pair_c[o]
+    newblk = np.concatenate([[True], ps_o[1:] != ps_o[:-1]])
+    blk_start = np.maximum.accumulate(
+        np.where(newblk, np.arange(len(ps_o)), 0)
+    )
+    a_mask = (np.arange(len(ps_o)) - blk_start) < k_a
+    pa_s, pa_c = ps_o[a_mask], pc_o[a_mask]
+
+    # exact min over each block's phase-A chunk(s), per sample (f32 BLAS:
+    # |s|^2 - 2 s.y + |y|^2; good to ~1e-4 absolute on these coordinates,
+    # plenty for a counting model)
+    chunks_w = wit.reshape(n_chunks, engine.wchunk, -1).astype(np.float32)
+    samples_host = np.asarray(samples)  # (S_total, NR, dim, RT) ball-local
+    pm_tile = np.full((s_total, nr), np.inf, dtype=np.float64)
+    for b in np.unique(pa_s):
+        sidx = b * pf.BS + np.arange(pf.BS)
+        # (BS, NR, RT, dim) global sample coordinates, flattened
+        sg = (
+            samples_host[sidx].transpose(0, 1, 3, 2)
+            + cen[sidx][:, None, None, :]
+        ).reshape(-1, samples_host.shape[2]).astype(np.float32)
+        s2 = np.sum(sg * sg, axis=1, keepdims=True)
+        best = np.full((sg.shape[0], 1), np.inf, dtype=np.float32)
+        for c in pa_c[pa_s == b]:
+            y = chunks_w[c]
+            y2 = np.sum(y * y, axis=1)[None, :]
+            for q in range(0, y.shape[0], 512):
+                d2q = s2 - 2.0 * (sg @ y[q:q + 512].T) + y2[:, q:q + 512]
+                best = np.minimum(best, d2q.min(axis=1, keepdims=True))
+        pm_tile[sidx] = np.maximum(
+            best.reshape(pf.BS, nr, rt).max(axis=2), 0.0
+        )
+    realized_tile_bound = np.minimum(pm_tile, u2)  # (S_total, NR)
+    pm_simplex = realized_tile_bound.max(axis=1)  # (S_total,)
+
+    # phase-B work-list: production's _active_pairs_matrix semantics with
+    # the realized per-simplex bound, minus phase-A pairs (host cost of
+    # this rebuild is timed — it is the refresh's host-side overhead)
+    t0 = _time.perf_counter()
+    hitB = (np.sum((c3 - nearest) ** 2, axis=-1) <= r3 * r3) & (r3 > 0)
+    hitB &= gapc2 <= pm_simplex.reshape(n_sblocks, pf.BS, 1)
+    activeB = np.any(hitB, axis=1)
+    activeB[pa_s, pa_c] = False
+    pb_s, pb_c = np.nonzero(activeB)
+    host_refresh_ms = (_time.perf_counter() - t0) * 1e3
+
+    # tile admission volumes: static bound for phase A (bounds start
+    # static), realized bound for phase B (conservative: the in-kernel
+    # bound keeps tightening below it)
+    def tile_volume(ps_l, pc_l, bnd):
+        tiles = 0
+        for beg in range(0, len(ps_l), B):
+            ps_b = ps_l[beg:beg + B]
+            pc_b = pc_l[beg:beg + B]
+            sidx = (ps_b[:, None] * pf.BS + np.arange(pf.BS)[None, :]).reshape(-1)
+            subi = (pc_b[:, None] * nsub + np.arange(nsub)[None, :]).reshape(-1)
+            c_b = cen[sidx].reshape(len(ps_b), pf.BS, 1, -1)
+            r_b = rad[sidx].reshape(len(ps_b), pf.BS, 1)
+            bl = sub_lo[subi].reshape(len(ps_b), 1, nsub, -1)
+            bh = sub_hi[subi].reshape(len(ps_b), 1, nsub, -1)
+            near_b = np.clip(c_b, bl, bh) - c_b
+            ok = np.sum(near_b * near_b, axis=-1) <= r_b * r_b
+            ui, uj, uk = np.nonzero(ok)
+            if not len(ui):
+                continue
+            sidx2 = ps_b[ui] * pf.BS + uj
+            subi2 = pc_b[ui] * nsub + uk
+            blo = sub_lo[subi2][:, None, :] - cen[sidx2][:, None, :]
+            bhi = sub_hi[subi2][:, None, :] - cen[sidx2][:, None, :]
+            tg = np.maximum(
+                np.maximum(blo - t_hi[sidx2], t_lo[sidx2] - bhi), 0.0
+            )
+            tg2 = np.sum(tg * tg, axis=-1)
+            tiles += int((tg2 <= bnd[sidx2]).sum())
+        return tiles
+
+    static_tiles = tile_volume(pair_s, pair_c, u2)
+    a_tiles = tile_volume(pa_s, pa_c, u2)
+    b_tiles = tile_volume(pb_s, pb_c, realized_tile_bound)
+
+    seg_a = 2048  # fixed phase-A segment (ops/pallas_flood.py run_pairs)
+    launches_single = -(-len(pair_s) // pf.PAIR_SEGMENT)
+    launches_two = -(-len(pa_s) // seg_a) + max(
+        1, -(-len(pb_s) // pf.PAIR_SEGMENT)
+    )
+    saved_tiles = static_tiles - a_tiles - b_tiles
+    vpu_tflops = 4.0  # f32 vector peak, one TPU v5e chip
+    saved_ms = saved_tiles * flops_per_tile / (vpu_tflops * 1e12) * 1e3
+    extra_launches = launches_two - launches_single
+    break_even = (
+        (saved_ms - host_refresh_ms) / extra_launches
+        if extra_launches > 0 else float("inf")
+    )
+
     print(json.dumps({
         "points": n_points,
         "landmarks": n_landmarks,
@@ -162,6 +269,26 @@ def main():
         "floor_tflops": round(floor_tiles * flops_per_tile / 1e12, 3),
         "pairs_static": int(len(pair_s)),
         "pairs_converged_bound": pairs_converged,
+        "two_phase": {
+            "k_a": k_a,
+            "phase_a_pairs": int(len(pa_s)),
+            "phase_b_pairs": int(len(pb_s)),
+            "pairs_dropped": int(len(pair_s) - len(pa_s) - len(pb_s)),
+            "static_tile_units": int(static_tiles),
+            "phase_a_tile_units": int(a_tiles),
+            "phase_b_tile_units": int(b_tiles),
+            "tile_units_saved": int(saved_tiles),
+            "tflop_saved": round(saved_tiles * flops_per_tile / 1e12, 3),
+            "saved_ms_at_vpu_peak": round(saved_ms, 1),
+            "host_refresh_ms": round(host_refresh_ms, 2),
+            "launches_single_phase": int(launches_single),
+            "launches_two_phase": int(launches_two),
+            "break_even_launch_overhead_ms": round(break_even, 2),
+            "note": "two-phase wins on hardware iff per-launch overhead "
+                    "< break_even_launch_overhead_ms (phase-B tiles use "
+                    "the realized-after-A bound; in-kernel tightening "
+                    "only lowers them further)",
+        },
         "note": "ceiling (static-only) in wv_1m_hilbert.json; real kernel "
                 "work lies between floor and ceiling",
     }))

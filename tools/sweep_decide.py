@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Decide the shipped kernel configuration from a phase-3 sweep.
+
+Reads the sweep JSONL produced by ``tools/tpu_session.sh phase3`` (one
+bench JSON per tried env combination) and applies the decision rules
+fixed in round 3's STATUS pickup list:
+
+- ``FLOODER_WITNESS_ORDER=kd`` becomes the default iff it wins >= 0.1 s
+  over the Hilbert baseline (alone or inside the winning combo).
+- ``FLOODER_PALLAS_MXU=1`` becomes the default iff it wins AND the
+  full-size oracle tier passes on hardware under the flag (the oracle
+  gate is printed as a required follow-up, not auto-run here).
+- ``FLOODER_PALLAS_PHASES=2`` becomes the default iff it wins (the
+  adaptive-floor model prices its break-even launch overhead; hardware
+  wall-clock is the final arbiter).
+- every loser's env knob is deleted from the engine (verdict r3 #2: the
+  hot engine must contain no unmeasured code paths).
+
+Usage: python tools/sweep_decide.py tpu_runs/sweep_r04.jsonl
+"""
+
+import json
+import sys
+
+
+def main(path: str) -> None:
+    rows = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rows.append(json.loads(line))
+            except json.JSONDecodeError:
+                continue
+    if not rows:
+        print("no sweep rows parsed", file=sys.stderr)
+        sys.exit(1)
+
+    # keep the best (lowest) value per env combo (reruns overwrite)
+    best = {}
+    for r in rows:
+        env = r.get("env", "").strip()
+        if env not in best or r["value"] < best[env]["value"]:
+            best[env] = r
+
+    baseline = best.get("", None)
+    ranked = sorted(best.values(), key=lambda r: r["value"])
+    print(f"{'time(s)':>9}  {'vs_base':>8}  env")
+    for r in ranked:
+        print(f"{r['value']:9.4f}  {r['vs_baseline']:8.3f}  "
+              f"{r.get('env', '') or '(default)'}")
+
+    win = ranked[0]
+    wenv = win.get("env", "")
+    print()
+    print(f"WINNER: [{wenv or 'default'}] at {win['value']:.4f} s "
+          f"(vs_baseline {win['vs_baseline']:.3f})")
+    if baseline is not None:
+        delta = baseline["value"] - win["value"]
+        print(f"  margin over shipped default: {delta:+.4f} s")
+
+    def flag_delta(flag: str):
+        """Best time with the flag vs best time without it."""
+        w = [r["value"] for e, r in best.items() if flag in e]
+        wo = [r["value"] for e, r in best.items() if flag not in e]
+        if not w or not wo:
+            return None
+        return min(wo) - min(w)  # >0: flag helps
+
+    print()
+    print("per-flag margins (best-with minus best-without, >0 = helps):")
+    decisions = []
+    for flag, rule in [
+        ("FLOODER_WITNESS_ORDER=kd", 0.1),
+        ("FLOODER_PALLAS_MXU=1", 0.0),
+        ("FLOODER_PALLAS_PHASES=2", 0.0),
+        ("FLOODER_PALLAS_SUB=256", 0.0),
+        ("FLOODER_PALLAS_RT=256", 0.0),
+    ]:
+        d = flag_delta(flag)
+        if d is None:
+            continue
+        verdict = "ADOPT" if d > rule else "DELETE"
+        decisions.append((flag, d, verdict))
+        print(f"  {flag:<28} {d:+.4f} s  -> {verdict}"
+              f"{' (needs oracle gate on hardware)' if 'MXU' in flag and verdict == 'ADOPT' else ''}")
+
+    print()
+    print("next: set the winning combo as the shipped default "
+          "(ops/pallas_flood.py constants), delete every DELETE flag's "
+          "code path, and re-run the full-size oracle tier under the "
+          "final configuration.")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "tpu_runs/sweep_r04.jsonl")

@@ -58,7 +58,9 @@ EOF
 phase3() {
   # RT sweeps change the MXU dot's N dimension: RT=8192 makes one tile
   # span all samples, so the cross-term matmul is (SUB, d)x(d, ~5k) —
-  # amortized MXU issue at the cost of tile-granular skips.
+  # amortized MXU issue at the cost of tile-granular skips. Results are
+  # appended as JSONL for tools/sweep_decide.py.
+  SWEEP=tpu_runs/sweep_r04.jsonl
   for v in "" "FLOODER_WITNESS_ORDER=kd" "FLOODER_PALLAS_MXU=1" \
            "FLOODER_PALLAS_MXU=1 FLOODER_PALLAS_RT=1024" \
            "FLOODER_PALLAS_MXU=1 FLOODER_PALLAS_RT=2048" \
@@ -72,8 +74,23 @@ phase3() {
            "FLOODER_PALLAS_PHASES=2 FLOODER_PALLAS_SUB=256" \
            "FLOODER_PALLAS_MXU=1 FLOODER_WITNESS_ORDER=kd"; do
     echo "== bench sweep: [$v] =="
-    env $v FLOODER_BENCH_REPS=2 timeout 1500 python bench.py
+    out=$(env $v FLOODER_BENCH_REPS=2 timeout 1500 python bench.py)
+    echo "$out"
+    python -c "
+import json, sys
+line = '''$out'''.strip().splitlines()
+for l in line:
+    try:
+        j = json.loads(l)
+        j['env'] = '''$v'''
+        print(json.dumps(j))
+        break
+    except Exception:
+        pass
+" >> "$SWEEP"
   done
+  echo "== sweep decision =="
+  python tools/sweep_decide.py "$SWEEP" || true
 }
 
 phase4() {
