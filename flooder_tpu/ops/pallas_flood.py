@@ -535,6 +535,33 @@ def _sample_morton_order(weights_np: np.ndarray) -> np.ndarray:
     return np.argsort(code, kind="stable").astype(np.int32)
 
 
+def select_pad_pair(active: np.ndarray, dist: np.ndarray | None = None):
+    """Pick a (block, chunk) pair for padding a work-list segment.
+
+    The pad must come from a FULLY-inactive block (typically a
+    zero-radius padding block): an inactive entry of a block that also
+    has real pairs in the same segment would be a non-consecutive
+    revisit — its first-visit flag reseeds ``out_ref`` from the aliased
+    accumulator, whose write-back from the block's earlier visit is not
+    ordered against this input DMA within one launch. Returns None when
+    every block has active pairs; callers then pad by repeating the last
+    real pair (same block → first flag stays 0, the min-fold is
+    idempotent).
+
+    Args:
+        active: (n_blocks, n_chunks) bool admission matrix.
+        dist: optional (n_blocks, n_chunks) block-to-chunk distances;
+            when given, the farthest chunk of the pad block is chosen
+            (its admission check fails fastest).
+    """
+    rows = np.nonzero(~active.any(axis=1))[0]
+    if not len(rows):
+        return None
+    r0 = int(rows[0])
+    c0 = int(np.argmax(dist[r0])) if dist is not None else 0
+    return (np.int32(r0), np.int32(c0))
+
+
 def _tile_geometry(r_count: int):
     """Sample-tile geometry: (rt lanes per tile, nr tiles, padded total)."""
     rt = min(RT, _round_up(r_count, 128))
@@ -903,18 +930,7 @@ class PallasFloodEngine:
             _os.environ.get("FLOODER_PALLAS_PHASES", "1") == "2"
             and len(pair_s_np)
         ):
-            # Pad pair must come from a FULLY-inactive block (usually a
-            # zero-radius padding block): an inactive entry of a block
-            # with real pairs in the same segment would be a
-            # non-consecutive revisit whose first-visit reseed races the
-            # block's earlier write-back within one launch. When every
-            # block has active pairs (num_simplices exactly fills
-            # n_sblocks*BS), fall back to run_pairs' repeat-last-pair
-            # padding (same block → first flag stays 0 → no reseed).
-            inact_rows = np.nonzero(~active.any(axis=1))[0]
-            pad_pair = (
-                (int(inact_rows[0]), 0) if len(inact_rows) else None
-            )
+            pad_pair = select_pad_pair(active)
             # phase A: the K nearest chunks of every block (K=1 default;
             # larger K tightens the realized bound at more phase-A cost)
             k_a = max(1, int(_os.environ.get("FLOODER_PALLAS_PHASEA", "1")))

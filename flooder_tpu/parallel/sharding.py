@@ -284,29 +284,19 @@ class MeshPallasFloodEngine:
                 ps, pc = ps[o].astype(np.int32), pc[o].astype(np.int32)
                 # Padding pair for load balancing: SPMD forces every shard
                 # to run the busiest shard's segment count, so pad the
-                # shorter lists with an inactive (block, chunk) pair — the
-                # ball test fails for every simplex in the block, the pair
-                # costs only its admission checks, and because it is
-                # constant Pallas never re-DMAs its blocks. The pad block
-                # must be FULLY inactive (no active pairs anywhere in the
-                # shard): a pad from a merely-inactive entry of a block
-                # with real pairs earlier in the same segment would be a
-                # non-consecutive revisit — its first-visit flag reseeds
-                # out_ref from the aliased accumulator, whose write-back
-                # from the earlier visit is not ordered against this
-                # input DMA within one launch. Falls back to repeating the
-                # last real pair (same block → first flag stays 0, the
-                # min-fold is idempotent) when every block has real pairs.
-                inact_rows = np.nonzero(~a.any(axis=1))[0]
-                if len(inact_rows):
-                    r0 = int(inact_rows[0])
-                    padpair = (
-                        np.int32(r0), np.int32(int(np.argmax(d[r0]))),
-                    )
-                elif len(ps):
-                    padpair = (ps[-1], pc[-1])
-                else:
-                    padpair = (np.int32(0), np.int32(0))
+                # shorter lists with a pair from a fully-inactive block —
+                # the ball test fails for every simplex in the block, the
+                # pair costs only its admission checks, and because it is
+                # constant Pallas never re-DMAs its blocks (see
+                # ops.pallas_flood.select_pad_pair for the reseed-race
+                # argument). Falls back to repeating the last real pair
+                # when every block has real pairs.
+                padpair = pf.select_pad_pair(a, d)
+                if padpair is None:
+                    if len(ps):
+                        padpair = (ps[-1], pc[-1])
+                    else:
+                        padpair = (np.int32(0), np.int32(0))
                 row.append((ps, pc, padpair))
                 max_pairs = max(max_pairs, len(ps))
             lists.append(row)

@@ -124,6 +124,31 @@ def test_pallas_kd_witness_order(monkeypatch):
             assert fc_kd[s] == pytest.approx(v, abs=1e-5)
 
 
+def test_select_pad_pair_reseed_safety():
+    """Segment-padding pairs must come from FULLY-inactive blocks: a pad
+    from a merely-inactive entry of a live block is a non-consecutive
+    revisit whose first-visit reseed races the block's earlier write-back
+    within one launch (advisor r3, high)."""
+    from flooder_tpu.ops.pallas_flood import select_pad_pair
+
+    # one fully-inactive row (row 2) among live rows
+    active = np.array(
+        [[True, False], [False, True], [False, False]], dtype=bool
+    )
+    dist = np.array([[0.1, 9.0], [5.0, 0.2], [3.0, 7.0]])
+    pair = select_pad_pair(active, dist)
+    assert pair == (2, 1)  # farthest chunk of the inactive row
+    assert not active[pair[0]].any()
+
+    # inactive ENTRIES exist but every block is live → must refuse
+    # (the advisor's regression case), even though (0,1)/(1,0) are free
+    live = np.array([[True, False], [False, True]], dtype=bool)
+    assert select_pad_pair(live, dist[:2]) is None
+
+    # no dist given → chunk 0 of the inactive block
+    assert select_pad_pair(active) == (2, 0)
+
+
 def test_two_phase_structure(monkeypatch):
     """Cost-model pin for the two-phase refresh (verdict r3 #6): phase A
     runs exactly the K nearest chunks of every live block, phase B never
