@@ -203,15 +203,32 @@ def main():
     realized_tile_bound = np.minimum(pm_tile, u2)  # (S_total, NR)
     pm_simplex = realized_tile_bound.max(axis=1)  # (S_total,)
 
-    # phase-B work-list: production's _active_pairs_matrix semantics with
-    # the realized per-simplex bound, minus phase-A pairs (host cost of
-    # this rebuild is timed — it is the refresh's host-side overhead)
+    # phase-B work-list via the PRODUCTION refresh path: the jitted
+    # _active_pairs_matrix rebuild (a device op — executed on the CPU
+    # backend here, so the measured time is a generous upper bound for a
+    # TPU) plus the host-side nonzero/lexsort/bound-combination, exactly
+    # the sequence _run_kernel executes between phases. Timed warm.
+    ub2max_new_j = jnp.asarray(
+        np.minimum(pm_simplex, u2.max(axis=1)), jnp.float32
+    )
+    samp_lo_j = jnp.asarray(samp_lo_g, jnp.float32)
+    samp_hi_j = jnp.asarray(samp_hi_g, jnp.float32)
+
+    def production_refresh():
+        a_d, d_d = pf._active_pairs_matrix(
+            centers_p, radii_p, samp_lo_j, samp_hi_j, ub2max_new_j,
+            engine.chunk_lo, engine.chunk_hi, engine.wchunk, pf.BS,
+        )
+        a2, d2 = jax.device_get((a_d, d_d))
+        a2 = np.array(a2)
+        a2[pa_s, pa_c] = False
+        s_l, c_l = np.nonzero(a2)
+        o_l = np.lexsort((d2[s_l, c_l], s_l))
+        return s_l[o_l], c_l[o_l]
+
+    production_refresh()  # warm (compile cached from _prep's jit)
     t0 = _time.perf_counter()
-    hitB = (np.sum((c3 - nearest) ** 2, axis=-1) <= r3 * r3) & (r3 > 0)
-    hitB &= gapc2 <= pm_simplex.reshape(n_sblocks, pf.BS, 1)
-    activeB = np.any(hitB, axis=1)
-    activeB[pa_s, pa_c] = False
-    pb_s, pb_c = np.nonzero(activeB)
+    pb_s, pb_c = production_refresh()
     host_refresh_ms = (_time.perf_counter() - t0) * 1e3
 
     # tile admission volumes: static bound for phase A (bounds start
