@@ -60,6 +60,8 @@ phase3() {
   # span all samples, so the cross-term matmul is (SUB, d)x(d, ~5k) —
   # amortized MXU issue at the cost of tile-granular skips. Results are
   # appended as JSONL for tools/sweep_decide.py.
+  echo "== per-launch overhead (validates the two-phase break-even prior) =="
+  timeout 900 python tools/launch_overhead.py --points 1000000 | tee tpu_runs/launch_overhead.json || true
   SWEEP=tpu_runs/sweep_r04.jsonl
   for v in "" "FLOODER_WITNESS_ORDER=kd" "FLOODER_PALLAS_MXU=1" \
            "FLOODER_PALLAS_MXU=1 FLOODER_PALLAS_RT=1024" \
