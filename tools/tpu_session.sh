@@ -63,17 +63,22 @@ phase3() {
   echo "== per-launch overhead (validates the two-phase break-even prior) =="
   timeout 900 python tools/launch_overhead.py --points 1000000 | tee tpu_runs/launch_overhead.json || true
   SWEEP=tpu_runs/sweep_r04.jsonl
-  for v in "" "FLOODER_WITNESS_ORDER=kd" "FLOODER_PALLAS_MXU=1" \
+  # Ordered by expected value (adaptive-floor prior: two-phase is the
+  # decisive lever, then MXU/rate, then ordering/geometry) so a chip
+  # re-wedge mid-sweep still leaves the big decisions made.
+  for v in "" \
+           "FLOODER_PALLAS_PHASES=2" \
+           "FLOODER_PALLAS_PHASES=2 FLOODER_PALLAS_MXU=1" \
+           "FLOODER_PALLAS_MXU=1" \
+           "FLOODER_PALLAS_PHASES=2 FLOODER_PALLAS_PHASEA=3" \
+           "FLOODER_PALLAS_PHASES=2 FLOODER_PALLAS_SUB=256" \
            "FLOODER_PALLAS_MXU=1 FLOODER_PALLAS_RT=1024" \
            "FLOODER_PALLAS_MXU=1 FLOODER_PALLAS_RT=2048" \
            "FLOODER_PALLAS_MXU=1 FLOODER_PALLAS_RT=8192" \
+           "FLOODER_WITNESS_ORDER=kd" \
            "FLOODER_PALLAS_SUB=256" "FLOODER_PALLAS_RT=256" \
            "FLOODER_PALLAS_SUB=256 FLOODER_PALLAS_RT=256" \
            "FLOODER_WITNESS_ORDER=kd FLOODER_PALLAS_SUB=256" \
-           "FLOODER_PALLAS_PHASES=2" \
-           "FLOODER_PALLAS_PHASES=2 FLOODER_PALLAS_PHASEA=3" \
-           "FLOODER_PALLAS_PHASES=2 FLOODER_PALLAS_MXU=1" \
-           "FLOODER_PALLAS_PHASES=2 FLOODER_PALLAS_SUB=256" \
            "FLOODER_PALLAS_MXU=1 FLOODER_WITNESS_ORDER=kd"; do
     echo "== bench sweep: [$v] =="
     out=$(env $v FLOODER_BENCH_REPS=2 timeout 1500 python bench.py)
