@@ -27,7 +27,14 @@ def run(
     warmup: bool = True,
     stages: bool = False,
 ):
+    import os
+
     import jax
+
+    # config-level CPU override (sitecustomize force-registers the
+    # accelerator regardless of JAX_PLATFORMS; same guard as the probe)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from flooder_tpu import flood_complex, generate_swiss_cheese_points
 

@@ -13,6 +13,14 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+# Honor a CPU-backend request at the config level: this environment's
+# sitecustomize force-registers the accelerator, so the env var alone
+# would still initialize (and hang on a wedged) TPU.
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 import argparse
 import time
