@@ -38,6 +38,15 @@ def main():
     ap.add_argument("--points", type=int, default=1_000_000)
     ap.add_argument("--landmarks", type=int, default=1000)
     ap.add_argument("--order", choices=["hilbert", "kd"], default="hilbert")
+    ap.add_argument(
+        "--bound",
+        choices=["vertex", "lm"],
+        default="vertex",
+        help="static upper bound: nearest own vertex (production) or "
+        "nearest landmark over ALL landmarks (candidate: landmarks are "
+        "witnesses in tight mode, so any landmark's distance bounds the "
+        "sample's min witness distance — strictly tighter than vertex)",
+    )
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
 
@@ -91,6 +100,33 @@ def main():
         engine.chunk_lo, engine.chunk_hi,
         bs=pf.BS, nr=nr, rt=rt, tight=True, wchunk=engine.wchunk,
     )
+    if args.bound == "lm":
+        # Re-derive ub2 with the landmark-seeded bound: per sample, the
+        # min squared distance over ALL landmarks (not just the simplex's
+        # own vertices). Exact offline via a KDTree over the landmarks;
+        # the production kernel would approximate with K nearest
+        # neighbouring landmarks gathered per simplex.
+        from scipy.spatial import cKDTree
+
+        samples_np = np.asarray(samples)  # (S, NR, dim, RT) ball-local
+        S, NR, dim, RT = samples_np.shape
+        gl = samples_np.transpose(0, 1, 3, 2) + np.asarray(centers_p)[
+            :, None, None, :
+        ]  # (S, NR, RT, dim) global
+        tree = cKDTree(np.asarray(lms, np.float64))
+        dmin, _ = tree.query(gl.reshape(-1, dim), k=1, workers=1)
+        d2 = (dmin.astype(np.float32) ** 2).reshape(S, NR, RT)
+        ub2_lm = d2.max(axis=2)[..., None]  # (S, NR, 1)
+        # padding simplices keep their old (inf-free) bound semantics:
+        # their radii are 0 so the ball test already excludes them
+        ub2 = jnp.asarray(np.minimum(np.asarray(ub2), ub2_lm))
+        ub2max_new = jnp.max(ub2[:, :, 0], axis=1)
+        samp_lo_g = jnp.min(tile_lo, axis=1) + centers_p
+        samp_hi_g = jnp.max(tile_hi, axis=1) + centers_p
+        active_d, pairdist_d = pf._active_pairs_matrix(
+            centers_p, radii_p, samp_lo_g, samp_hi_g, ub2max_new,
+            engine.chunk_lo, engine.chunk_hi, engine.wchunk, pf.BS,
+        )
     active, pairdist = jax.device_get((active_d, pairdist_d))
     print(f"prep {time.time()-t0:.1f}s", file=sys.stderr)
 
@@ -160,6 +196,7 @@ def main():
 
     print(json.dumps({
         "order": args.order,
+        "bound": args.bound,
         "points": args.points,
         "landmarks": args.landmarks,
         "n_chunks": int(n_chunks),
