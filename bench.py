@@ -157,13 +157,23 @@ def main():
 
     value, times = run(args.points, args.landmarks, args.reps,
                        stages=args.stages)
+    import jax
+
     print(
         json.dumps(
             {
-                "metric": "flood_build_plus_ph_seconds_1m_pts_1k_lms_3d",
+                "metric": (
+                    "flood_build_plus_ph_seconds_1m_pts_1k_lms_3d"
+                    if (args.points, args.landmarks) == (1_000_000, 1000)
+                    else "flood_build_plus_ph_seconds_"
+                    f"{args.points}pts_{args.landmarks}lms_3d"
+                ),
                 "value": round(value, 4),
                 "unit": "s",
                 "vs_baseline": round(value / BASELINE_SECONDS, 4),
+                # provenance: a CPU-forced run must never be mistaken for
+                # a hardware measurement
+                "backend": jax.default_backend(),
             }
         )
     )
