@@ -91,17 +91,24 @@ def _fps_kernel(
     def fetch_landmark(idx):
         """Fetch the landmark column via a lane-aligned 128-wide window
         (HBM lane slices must be 128-aligned), then extract the column
-        with a masked lane-reduce."""
-        base = pl.multiple_of((idx // 128) * 128, 128)
+        with a masked lane-reduce.
+
+        All scalar arithmetic stays explicit int32: ``idx // 128`` via
+        jnp would promote the literal to a weak int64, and Mosaic's
+        convert_element_type lowering recurses forever on scalar
+        i64->i32 (caught off-hardware by tests/test_tpu_lowering.py).
+        """
+        c128 = jnp.int32(128)
+        base = pl.multiple_of(jax.lax.div(idx, c128) * c128, 128)
         copy = pltpu.make_async_copy(
             pts_ref.at[:, pl.ds(base, 128)], lmwin_ref, lm_sem
         )
         copy.start()
         copy.wait()
-        lane = idx % 128
+        lane = jax.lax.rem(idx, c128)
         iota = jax.lax.broadcasted_iota(jnp.int32, lmwin_ref.shape, 1)
         lm_ref[:] = jnp.sum(
-            jnp.where(iota == lane, lmwin_ref[:], 0.0),
+            jnp.where(iota == lane, lmwin_ref[:], jnp.float32(0.0)),
             axis=1,
             keepdims=True,
         )
@@ -164,7 +171,10 @@ def _fps_kernel(
 
             return _c
 
-        jax.lax.fori_loop(0, nchunks, chunk_body, 0)
+        # int32 carries/bounds: weak-int64 scalars do not lower to Mosaic
+        jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(nchunks), chunk_body, jnp.int32(0)
+        )
 
         # global argmax over the per-chunk maxima
         gm = jnp.max(cmax_ref[:])
@@ -175,9 +185,12 @@ def _fps_kernel(
         best_idx = cbest_ref[pl.ds(cstar, 1), :][0, 0]
         out_ref[pl.ds(l, 1), :] = best_idx.reshape(1, 1)
         fetch_landmark(best_idx)
-        return 0
+        return jnp.int32(0)
 
-    jax.lax.fori_loop(1, n_samples, sweep, 0, unroll=False)
+    jax.lax.fori_loop(
+        jnp.int32(1), jnp.int32(n_samples), sweep, jnp.int32(0),
+        unroll=False,
+    )
 
 
 @functools.partial(
