@@ -1,0 +1,105 @@
+"""Off-hardware Mosaic lowering check for every kernel geometry the
+phase-3 hardware sweep (tools/tpu_session.sh) will compile.
+
+Interpret-mode tests execute kernel semantics but skip the Mosaic
+pipeline; this script runs the real Pallas->Mosaic lowering for each
+sweep combo's (bs, rt, sub, mxu) geometry via JAX cross-platform
+lowering, so a chip session never burns alive-time on a variant that
+cannot compile. Usage:
+
+    python tools/lower_check.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+
+def lower_flood(bs, dim, rt, sub, wchunk, mxu, nr=1, sb=2, npairs=4):
+    from flooder_tpu.ops.pallas_flood import _flood_pairs_call
+
+    args = (
+        jnp.zeros((npairs,), jnp.int32),
+        jnp.zeros((npairs,), jnp.int32),
+        jnp.ones((npairs,), jnp.int32),
+        jnp.zeros((sb * bs, nr, dim, rt), jnp.float32),
+        jnp.zeros((dim, wchunk), jnp.float32),
+        jnp.zeros((sb * bs, dim), jnp.float32),
+        jnp.ones((sb * bs, 1), jnp.float32),
+        jnp.zeros((sb * bs, nr, dim), jnp.float32),
+        jnp.ones((sb * bs, nr, dim), jnp.float32),
+        jnp.full((sb * bs, nr, 1), 1e9, jnp.float32),
+        jnp.full((sb * bs, nr, rt), 1e9, jnp.float32),
+    )
+    traced = _flood_pairs_call.trace(
+        *args, bs=bs, dim=dim, nsub=wchunk // sub, sub=sub,
+        interpret=False, mxu=mxu,
+    )
+    txt = traced.lower(lowering_platforms=("tpu",)).as_text()
+    assert "tpu_custom_call" in txt
+
+
+def lower_fps(dim, chunk, nchunks, n_samples):
+    from flooder_tpu.ops.pallas_fps import _fps_call
+
+    traced = _fps_call.trace(
+        jnp.zeros((dim, chunk * nchunks), jnp.float32),
+        jnp.zeros((nchunks, dim), jnp.float32),
+        jnp.ones((nchunks, dim), jnp.float32),
+        jnp.zeros((), jnp.int32),
+        n_samples=n_samples, chunk=chunk, interpret=False,
+    )
+    txt = traced.lower(lowering_platforms=("tpu",)).as_text()
+    assert "tpu_custom_call" in txt
+
+
+def main():
+    # (label, bs, rt, sub, mxu) — every geometry phase3 compiles, both
+    # ambient dims used by the BASELINE configs (2-D figure-eight, 3-D
+    # cheese/torus). WCHUNK stays at its shipped 2048 in all combos.
+    combos = []
+    for dim in (2, 3):
+        combos += [
+            (f"default d{dim}", 8, 512, 512, dim, False),
+            (f"PHASES=2 d{dim} (same geometry, short segments)", 8, 512, 512, dim, False),
+            (f"MXU d{dim}", 8, 512, 512, dim, True),
+            (f"SUB=256 d{dim}", 8, 512, 256, dim, False),
+            (f"RT=256 d{dim}", 8, 256, 512, dim, False),
+            (f"RT=256 SUB=256 d{dim}", 8, 256, 256, dim, False),
+            (f"MXU RT=1024 d{dim}", 8, 1024, 512, dim, True),
+            (f"MXU RT=2048 d{dim}", 8, 2048, 512, dim, True),
+            (f"MXU RT=8192 d{dim} (96MB vmem param)", 8, 8192, 512, dim, True),
+        ]
+    failures = 0
+    for label, bs, rt, sub, dim, mxu in combos:
+        try:
+            lower_flood(bs, dim, rt, sub, 2048, mxu)
+            print(f"OK   flood {label}")
+        except Exception as e:  # noqa: BLE001
+            failures += 1
+            msg = str(e).splitlines()[0][:120] if str(e) else type(e).__name__
+            print(f"FAIL flood {label}: {msg}")
+    for label, dim, chunk, nchunks, n in [
+        ("3-D 1M-shape", 3, 2048, 16, 64),
+        ("2-D padded", 4, 512, 2, 8),
+    ]:
+        try:
+            lower_fps(dim, chunk, nchunks, n)
+            print(f"OK   fps {label}")
+        except Exception as e:  # noqa: BLE001
+            failures += 1
+            msg = str(e).splitlines()[0][:120] if str(e) else type(e).__name__
+            print(f"FAIL fps {label}: {msg}")
+    print(f"{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
