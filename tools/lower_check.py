@@ -97,8 +97,73 @@ def main():
             failures += 1
             msg = str(e).splitlines()[0][:120] if str(e) else type(e).__name__
             print(f"FAIL fps {label}: {msg}")
+    failures += _aux_checks()
     print(f"{failures} failures")
     return 1 if failures else 0
+
+
+def _aux_checks():
+    """Cross-lower the auxiliary jitted device functions the engine and
+    sweep compile around the kernels (plain XLA, near-zero risk, but a
+    sweep combo that trips on one wastes chip time all the same)."""
+    from flooder_tpu.ops.pallas_flood import (
+        _active_pairs_matrix,
+        hilbert_codes,
+        kd_order_device,
+    )
+    from flooder_tpu.ops.pallas_fps import _fps_prepare
+
+    n_sblocks, bs, dim, nr, nchunks, wchunk = 4, 8, 3, 2, 6, 2048
+    s_total = n_sblocks * bs
+    checks = [
+        (
+            "active-pairs matrix",
+            lambda: jax.jit(
+                _active_pairs_matrix, static_argnames=("wchunk", "bs")
+            ).trace(
+                jnp.zeros((s_total, dim), jnp.float32),
+                jnp.ones((s_total, 1), jnp.float32),
+                jnp.zeros((s_total, dim), jnp.float32),
+                jnp.ones((s_total, dim), jnp.float32),
+                jnp.full((s_total, 1), 1e9, jnp.float32),
+                jnp.zeros((nchunks, dim), jnp.float32),
+                jnp.ones((nchunks, dim), jnp.float32),
+                wchunk=wchunk,
+                bs=bs,
+            ),
+        ),
+        (
+            "kd ordering",
+            lambda: jax.jit(
+                lambda p: kd_order_device(p, 2048)
+            ).trace(jnp.zeros((8192, dim), jnp.float32)),
+        ),
+        (
+            "hilbert codes",
+            lambda: hilbert_codes.trace(
+                jnp.zeros((4096, dim), jnp.float32), bits=8
+            ),
+        ),
+        (
+            "fps prepare",
+            lambda: _fps_prepare.trace(
+                jnp.zeros((4096, dim), jnp.float32),
+                jnp.zeros((), jnp.int32),
+                chunk=2048,
+                dim_pad=dim,
+            ),
+        ),
+    ]
+    failures = 0
+    for label, make in checks:
+        try:
+            make().lower(lowering_platforms=("tpu",)).as_text()
+            print(f"OK   aux {label}")
+        except Exception as e:  # noqa: BLE001
+            failures += 1
+            msg = str(e).splitlines()[0][:120] if str(e) else type(e).__name__
+            print(f"FAIL aux {label}: {msg}")
+    return failures
 
 
 if __name__ == "__main__":
