@@ -843,7 +843,7 @@ class PallasFloodEngine:
 
         radii2 = radii[:, None]
 
-        def run_pairs(ps_np, pc_np, acc, seg_cap=None, pad_pair=None):
+        def run_pairs(ps_np, pc_np, acc, short_phase=False, pad_pair=None):
             """Run a (block-major, already-ordered) pair list through the
             kernel in fixed-size segments. Scalar-prefetch operands live in
             the chip's 1MB SMEM, and a fixed segment length keeps the grid
@@ -851,8 +851,9 @@ class PallasFloodEngine:
             carried across launches through the aliased accumulator;
             blocks untouched by every segment simply keep their values.
 
-            ``seg_cap`` right-sizes the segment for short lists (the
-            two-phase refresh's phase A); ``pad_pair`` pads with an
+            ``short_phase`` selects the fixed 2048-pair segment used
+            for the two-phase refresh's phase A (one length, one compile
+            key — not a per-call size); ``pad_pair`` pads with an
             inactive (block, chunk) pair — admission fails instantly and
             Pallas never re-DMAs a constant pair — instead of repeating
             real work."""
@@ -862,7 +863,7 @@ class PallasFloodEngine:
                 # to protect; smaller grids keep tests fast)
                 seg_len = max(256, 1 << max(0, len(ps_np) - 1).bit_length())
                 seg_len = min(seg_len, PAIR_SEGMENT)
-            elif seg_cap is not None:
+            elif short_phase:
                 # short phase (two-phase refresh phase A): ONE fixed
                 # length — the grid is a Mosaic compile key, so a
                 # per-call power-of-two bucket would cold-compile every
@@ -945,7 +946,7 @@ class PallasFloodEngine:
             first = (np.arange(len(pair_s_np)) - blk_start) < k_a
             acc = run_pairs(
                 pair_s_np[first], pair_c_np[first], acc,
-                seg_cap=True, pad_pair=pad_pair,
+                short_phase=True, pad_pair=pad_pair,
             )
             # realized per-simplex bounds from the accumulator
             pm = np.asarray(_block_bounds(acc))  # (S_total,)
@@ -966,18 +967,26 @@ class PallasFloodEngine:
             active2 = np.array(active2)  # device_get gives read-only views
             active2[pair_s_np[first], pair_c_np[first]] = False
             ps2, pc2 = np.nonzero(active2)
-            # cost-model instrumentation (tiny; pinned by
+            # cost-model instrumentation: counts are always recorded
+            # (ints, free); the full pair lists / distance matrix are
+            # MBs at stress scale and sit inside the timed hot path, so
+            # they are only retained under FLOODER_PHASE_STATS=1 (set by
             # tests/test_pallas.py::test_two_phase_structure)
             self._phase_stats = {
-                "static": (pair_s_np.copy(), pair_c_np.copy()),
                 "static_pairs": int(len(pair_s_np)),
-                "phase_a": (
-                    pair_s_np[first].copy(), pair_c_np[first].copy()
-                ),
-                "phase_b": (ps2.copy(), pc2.copy()),
-                "pairdist": pairdist,
+                "phase_a_pairs": int(first.sum()),
+                "phase_b_pairs": int(len(ps2)),
                 "k_a": k_a,
             }
+            if _os.environ.get("FLOODER_PHASE_STATS", "0") == "1":
+                self._phase_stats.update({
+                    "static": (pair_s_np.copy(), pair_c_np.copy()),
+                    "phase_a": (
+                        pair_s_np[first].copy(), pair_c_np[first].copy()
+                    ),
+                    "phase_b": (ps2.copy(), pc2.copy()),
+                    "pairdist": pairdist,
+                })
             if len(ps2):
                 o2 = np.lexsort((pairdist2[ps2, pc2], ps2))
                 acc = run_pairs(

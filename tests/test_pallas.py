@@ -157,6 +157,7 @@ def test_two_phase_structure(monkeypatch):
     from flooder_tpu.ops.pallas_flood import PallasFloodEngine
 
     monkeypatch.setenv("FLOODER_PALLAS_PHASES", "2")
+    monkeypatch.setenv("FLOODER_PHASE_STATS", "1")
     captured = {}
 
     def _capture(pts, wc):

@@ -166,7 +166,8 @@ def main():
     import time as _time
 
     pairdist = np.asarray(jax.device_get(pairdist_d))
-    k_a = int(os.environ.get("FLOODER_PALLAS_PHASEA", "1"))
+    # same clamp as the engine (pallas_flood.py _run_kernel): k_a >= 1
+    k_a = max(1, int(os.environ.get("FLOODER_PALLAS_PHASEA", "1")))
     o = np.lexsort((pairdist[pair_s, pair_c], pair_s))
     ps_o, pc_o = pair_s[o], pair_c[o]
     newblk = np.concatenate([[True], ps_o[1:] != ps_o[:-1]])
@@ -200,8 +201,42 @@ def main():
         pm_tile[sidx] = np.maximum(
             best.reshape(pf.BS, nr, rt).max(axis=2), 0.0
         )
+
+    # Replicate the ENGINE's realized bound, not an idealized one: a
+    # tile's accumulator stays inf after phase A unless the kernel
+    # actually computed it — i.e. some phase-A sub-chunk passed the
+    # per-(simplex, sub-chunk) ball test AND its gap to the tile box is
+    # within the tile's static bound. _block_bounds then propagates the
+    # inf, and the engine's per-simplex refresh falls back to the static
+    # bound for any simplex with an uncomputed tile
+    # (pallas_flood.py:951-954). Without this mask the model prices a
+    # bound the shipped kernel cannot realize (systematically optimistic
+    # for phase B).
+    computed = np.zeros((s_total, nr), dtype=bool)
+    for b in np.unique(pa_s):
+        sidx = b * pf.BS + np.arange(pf.BS)
+        subi = (
+            pa_c[pa_s == b][:, None] * nsub + np.arange(nsub)[None, :]
+        ).reshape(-1)
+        c_b = cen[sidx][:, None, :]  # (BS, 1, dim)
+        near_b = np.clip(c_b, sub_lo[subi][None], sub_hi[subi][None]) - c_b
+        ball_ok = (
+            np.sum(near_b * near_b, axis=-1)
+            <= (rad[sidx].reshape(-1, 1) ** 2)
+        )  # (BS, nsubs)
+        blo = sub_lo[subi][None, None] - cen[sidx][:, None, None, :]
+        bhi = sub_hi[subi][None, None] - cen[sidx][:, None, None, :]
+        tg = np.maximum(
+            np.maximum(blo - t_hi[sidx][:, :, None], t_lo[sidx][:, :, None] - bhi),
+            0.0,
+        )  # (BS, NR, nsubs, dim)
+        tg2 = np.sum(tg * tg, axis=-1)
+        computed[sidx] |= np.any(
+            ball_ok[:, None, :] & (tg2 <= u2[sidx][:, :, None]), axis=2
+        )
+    pm_tile = np.where(computed, pm_tile, np.inf)
     realized_tile_bound = np.minimum(pm_tile, u2)  # (S_total, NR)
-    pm_simplex = realized_tile_bound.max(axis=1)  # (S_total,)
+    pm_simplex = pm_tile.max(axis=1)  # (S_total,) inf-propagating, as engine
 
     # phase-B work-list via the PRODUCTION refresh path: the jitted
     # _active_pairs_matrix rebuild (a device op — executed on the CPU
@@ -267,9 +302,9 @@ def main():
 
     seg_a = 2048  # fixed phase-A segment (ops/pallas_flood.py run_pairs)
     launches_single = -(-len(pair_s) // pf.PAIR_SEGMENT)
-    launches_two = -(-len(pa_s) // seg_a) + max(
-        1, -(-len(pb_s) // pf.PAIR_SEGMENT)
-    )
+    # the engine skips the phase-B dispatch entirely when the refreshed
+    # work-list is empty (pallas_flood.py `if len(ps2):`)
+    launches_two = -(-len(pa_s) // seg_a) + (-(-len(pb_s) // pf.PAIR_SEGMENT))
     saved_tiles = static_tiles - a_tiles - b_tiles
     vpu_tflops = 4.0  # f32 vector peak, one TPU v5e chip
     saved_ms = saved_tiles * flops_per_tile / (vpu_tflops * 1e12) * 1e3
@@ -303,8 +338,12 @@ def main():
             "break_even_launch_overhead_ms": round(break_even, 2),
             "note": "two-phase wins on hardware iff per-launch overhead "
                     "< break_even_launch_overhead_ms (phase-B tiles use "
-                    "the realized-after-A bound; in-kernel tightening "
-                    "only lowers them further)",
+                    "the realized-after-A bound with the engine's "
+                    "static fallback for simplices with uncomputed "
+                    "tiles; remaining optimism: computed tiles use the "
+                    "exact phase-A-chunk min, while the kernel's "
+                    "running min over admitted sub-chunks can sit "
+                    "slightly above it)",
         },
         "note": "ceiling (static-only) in wv_1m_hilbert.json; real kernel "
                 "work lies between floor and ceiling",

@@ -29,7 +29,10 @@ def main():
 
     import jax
 
-    if args.cpu:
+    # honor JAX_PLATFORMS=cpu at the config level too (sitecustomize
+    # force-registers the accelerator regardless of the env var — same
+    # guard as bench.py and the examples)
+    if args.cpu or os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np

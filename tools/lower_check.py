@@ -16,10 +16,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-
-jax.config.update("jax_platforms", "cpu")
-
-import jax.numpy as jnp  # noqa: E402
+import jax.numpy as jnp
 
 
 def lower_flood(bs, dim, rt, sub, wchunk, mxu, nr=1, sb=2, npairs=4):
@@ -61,6 +58,10 @@ def lower_fps(dim, chunk, nchunks, n_samples):
 
 
 def main():
+    # config-level CPU forcing belongs here, not at import time: the
+    # lowering tests import the builders above and must not clobber the
+    # backend of an on-TPU pytest run (FLOODER_TEST_TPU=1)
+    jax.config.update("jax_platforms", "cpu")
     # (label, bs, rt, sub, mxu) — every geometry phase3 compiles, both
     # ambient dims used by the BASELINE configs (2-D figure-eight, 3-D
     # cheese/torus). WCHUNK stays at its shipped 2048 in all combos.

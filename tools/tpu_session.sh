@@ -83,18 +83,24 @@ phase3() {
     echo "== bench sweep: [$v] =="
     out=$(env $v FLOODER_BENCH_REPS=2 timeout 1500 python bench.py)
     echo "$out"
-    python -c "
-import json, sys
-line = '''$out'''.strip().splitlines()
-for l in line:
+    # pass values via the environment, not source splicing: bench output
+    # containing quotes/backslashes must not corrupt the parser, and a
+    # combo with no JSON line must be LOUD (sweep_decide would otherwise
+    # silently decide from an incomplete row set)
+    OUT="$out" V="$v" python - >> "$SWEEP" <<'PYEOF'
+import json, os, sys
+for l in os.environ.get("OUT", "").strip().splitlines():
     try:
         j = json.loads(l)
-        j['env'] = '''$v'''
-        print(json.dumps(j))
-        break
     except Exception:
-        pass
-" >> "$SWEEP"
+        continue
+    j["env"] = os.environ.get("V", "")
+    print(json.dumps(j))
+    break
+else:
+    print(f"WARNING: no JSON line from combo [{os.environ.get('V','')}]",
+          file=sys.stderr)
+PYEOF
   done
   echo "== sweep decision =="
   python tools/sweep_decide.py "$SWEEP" || true
