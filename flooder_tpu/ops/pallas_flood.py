@@ -44,9 +44,17 @@ from jax.experimental.pallas import tpu as pltpu
 # Env overrides exist for benchmarking experiments.
 import os as _os
 
-BS = int(_os.environ.get("FLOODER_PALLAS_BS", 8))
+# Fixed block geometry (the analogue of the reference's one tuned
+# Triton geometry, ref core.py:26-29). BS (simplex rows per block) and
+# WCHUNK (witnesses per HBM chunk) are set by VMEM budget and VPU lane
+# shape and are deliberately NOT runtime-tunable: they were never part
+# of the hardware sweep, and unmeasured configuration space is a
+# liability (round-3 verdict). RT/SUB remain env-overridable only for
+# the phase-3 hardware sweep (tools/tpu_session.sh) and are collapsed
+# to the winning values once measured.
+BS = 8
 RT = int(_os.environ.get("FLOODER_PALLAS_RT", 512))
-WCHUNK = int(_os.environ.get("FLOODER_PALLAS_WCHUNK", 2048))
+WCHUNK = 2048
 SUB = int(_os.environ.get("FLOODER_PALLAS_SUB", 512))
 # Experimental: compute tile distances as |y|² − 2 y·x + |x|² with the
 # cross term on the MXU instead of the per-coordinate VPU loop. Cuts the
@@ -516,13 +524,17 @@ def _sample_morton_order(weights_np: np.ndarray) -> np.ndarray:
     simplex — the weight→point map is affine), which tightens the kernel's
     per-tile bounding boxes and static bounds and lets it skip more work.
     The engine inverse-permutes its output columns, so callers see the
-    original row order. ``FLOODER_SAMPLE_CURVE=morton`` selects Z-order
-    instead of the default Hilbert order (Hilbert tiles have no Z-jumps,
-    so their bounding boxes are tighter).
+    original row order. Hilbert order is used (Z-order remains only as
+    the 1-column fallback where the two coincide): Hilbert tiles have no
+    Z-jumps, so their bounding boxes are tighter — the static work-volume
+    model prices Z-order at +6.6% admitted tile units on the 100k/300
+    cloud (287,767 Hilbert vs 306,638 Morton,
+    tpu_runs/wv_100k300_sample_morton.json), so the former
+    FLOODER_SAMPLE_CURVE knob was deleted with Hilbert hardcoded.
     """
     k = weights_np.shape[1]
     bits = max(1, min(10, 24 // max(1, k)))
-    if _os.environ.get("FLOODER_SAMPLE_CURVE", "hilbert") == "hilbert" and k > 1:
+    if k > 1:
         code = hilbert_codes_np(weights_np.astype(np.float64), bits)
         return np.argsort(code, kind="stable").astype(np.int32)
     q = np.clip(
