@@ -48,6 +48,14 @@ def main():
         "sample's min witness distance — strictly tighter than vertex)",
     )
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--cloud",
+        choices=["cheese3d", "eight2d"],
+        default="cheese3d",
+        help="cheese3d: the headline 3-D swiss-cheese config; eight2d: "
+        "the 2-D figure-eight of the reference's largest demonstrated "
+        "run (ref examples/example_03_figure_eight_2d.py, 40M points)",
+    )
     args = ap.parse_args()
 
     if args.order == "kd":
@@ -61,20 +69,35 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from flooder_tpu import generate_landmarks, generate_swiss_cheese_points
+    from flooder_tpu import (
+        generate_figure_eight_points_2d,
+        generate_landmarks,
+        generate_swiss_cheese_points,
+    )
     from flooder_tpu.core import _grid_host, simplex_bounding_balls
     from flooder_tpu.ops import pallas_flood as pf
     from flooder_tpu.topology import DelaunayComplex
 
     t0 = time.time()
-    pts, _, _ = generate_swiss_cheese_points(args.points, k=6, seed=args.seed)
+    if args.cloud == "eight2d":
+        # reference example_03's exact cloud parameters (noise 0.01)
+        pts = generate_figure_eight_points_2d(
+            args.points, noise_std=0.01, seed=args.seed
+        )
+    else:
+        pts, _, _ = generate_swiss_cheese_points(
+            args.points, k=6, seed=args.seed
+        )
     pts = jnp.asarray(pts, jnp.float32)
+    dim = pts.shape[1]
     lms = generate_landmarks(pts, args.landmarks, start_idx=0)
     print(f"cloud+fps {time.time()-t0:.1f}s", file=sys.stderr)
 
     engine = pf.PallasFloodEngine(pts, pf.WCHUNK, interpret=True)
     stree = DelaunayComplex(np.asarray(lms, np.float64)).create_simplex_tree()
-    top = stree._verts[3] if len(stree._verts) > 3 else stree._verts[-1]
+    top = (
+        stree._verts[dim] if len(stree._verts) > dim else stree._verts[-1]
+    )
     sim_verts = lms[jnp.asarray(top)]
     centers, radii = simplex_bounding_balls(sim_verts)
     order = engine.order(centers)
@@ -82,7 +105,7 @@ def main():
     centers = centers[order]
     radii = radii[order]
 
-    grid_np, _, _ = _grid_host(30, 3)
+    grid_np, _, _ = _grid_host(30, dim)
     weights = jnp.asarray(grid_np, jnp.float32)
     num_simplices = sim_verts.shape[0]
 
@@ -190,13 +213,15 @@ def main():
             admitted_tiles += int((tgap2 <= u2[sidx2]).sum())
 
     total_units = npairs * pf.BS * nsub
-    flops_per_tile = pf.SUB * rt * (2 * 3 + 1)
+    flops_per_tile = pf.SUB * rt * (2 * dim + 1)
     print(f"analysis {time.time()-t0:.1f}s", file=sys.stderr)
     import json
 
     print(json.dumps({
         "order": args.order,
         "bound": args.bound,
+        "cloud": args.cloud,
+        "dim": dim,
         "points": args.points,
         "landmarks": args.landmarks,
         "n_chunks": int(n_chunks),
