@@ -80,9 +80,11 @@ def main():
 
     t0 = time.time()
     if args.cloud == "eight2d":
-        # reference example_03's exact cloud parameters (noise 0.01)
+        # reference example_03's exact cloud parameters
+        # (noise_std=0.02 gaussian, ref example_03_figure_eight_2d.py:48)
         pts = generate_figure_eight_points_2d(
-            args.points, noise_std=0.01, seed=args.seed
+            args.points, noise_std=0.02, noise_kind="gaussian",
+            seed=args.seed,
         )
     else:
         pts, _, _ = generate_swiss_cheese_points(
