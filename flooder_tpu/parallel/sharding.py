@@ -138,6 +138,14 @@ class MeshPallasFloodEngine:
     Usage: ``flood_complex(points, lms, mesh=mesh)`` — selected
     automatically on TPU float32 (``use_pallas=False`` forces the dense
     mesh engine).
+
+    The single-chip engine's optional two-phase bound refresh
+    (``FLOODER_PALLAS_PHASES=2``) is deliberately NOT wired into the mesh
+    path: the refresh needs a global realized bound per simplex block,
+    which under the mesh would cost an extra cross-shard reduction +
+    host round-trip per step. The mesh engine always runs the static
+    work-list, which is a strict superset of the refreshed one, so
+    results are identical either way.
     """
 
     def __init__(self, points: jax.Array, wchunk: int, mesh: Mesh,

@@ -84,6 +84,33 @@ def test_pallas_fps_interpret_matches_xla(n, n_lms):
     _assert_same_greedy_selection(pts, a, b, 7)
 
 
+def test_fps_volume_replay_matches_kernel():
+    """The admission-replay model (tools/fps_volume.py) must select the
+    same greedy set as the fused kernel — otherwise its chunk-visit
+    counts do not price the kernel's actual work."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.fps_volume import replay
+    from flooder_tpu.ops.pallas_fps import pallas_farthest_point_sampling
+    from flooder_tpu.ops.pallas_flood import hilbert_codes_np
+
+    pts = generate_noisy_torus_points_3d(9000, seed=4)
+    p = np.asarray(pts, np.float32)
+    bits = max(1, min(10, 24 // p.shape[1]))
+    order = np.argsort(
+        hilbert_codes_np(p.astype(np.float64), bits), kind="stable"
+    )
+    start_sorted = int(np.nonzero(order == 7)[0][0])
+    sel_sorted, admitted, _ = replay(p[order], 128, start_sorted)
+    a = order[sel_sorted]
+    b = np.asarray(pallas_farthest_point_sampling(pts, 128, 7, interpret=True))
+    _assert_same_greedy_selection(p, a, b, 7)
+    # the first sweep folds the start landmark into every chunk
+    assert admitted[0] == -(-len(p) // 8192)
+
+
 def test_pallas_fps_matches_xla_on_tpu():
     """Same check on real TPU hardware (skips on CPU-only CI)."""
     import jax
