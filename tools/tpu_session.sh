@@ -109,6 +109,16 @@ PYEOF
 phase4() {
   echo "== full bench (3 reps) =="
   timeout 1800 python bench.py
+  echo "== profiler trace of the headline config (post-hoc analysis) =="
+  timeout 900 python - <<'EOF' || true
+import numpy as np
+from flooder_tpu import generate_swiss_cheese_points
+pts, _, _ = generate_swiss_cheese_points(1_000_000, k=6, seed=42)
+np.save("/tmp/cheese_1m.npy", np.asarray(pts, np.float32))
+EOF
+  timeout 1200 python -m flooder_tpu.cli --input-file /tmp/cheese_1m.npy \
+    --num-landmarks 1000 --trace-dir tpu_runs/trace_r04 \
+    --stats-json tpu_runs/cli_stats_r04.json || true
   echo "== 2M x 10k stress =="
   timeout 2400 python bench.py --points 2000000 --landmarks 10000 --reps 1
   echo "== example_01 (incl. 10M row) =="
