@@ -104,3 +104,29 @@ def test_cli_end_to_end(tmp_path):
     assert payload["meta"]["n_points"] == 600
     steps = json.loads(stats.read_text())
     assert [s["name"] for s in steps] == ["Loading", "Flood complex", "Persistence"]
+
+
+def test_cli_trace_dir(tmp_path):
+    """--trace-dir wraps the Flood step in a jax.profiler trace and
+    leaves a non-empty trace directory (phase 4 of the hardware session
+    relies on this path)."""
+    cloud = tmp_path / "cloud.npy"
+    rng = np.random.default_rng(0)
+    np.save(cloud, rng.uniform(size=(400, 2)).astype(np.float32))
+    trace = tmp_path / "trace"
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "flooder_tpu.cli",
+            "--input-file", str(cloud),
+            "--num-landmarks", "32",
+            "--points-per-edge", "4",
+            "--device", "cpu",
+            "--trace-dir", str(trace),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=500,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert trace.is_dir() and any(trace.rglob("*"))
