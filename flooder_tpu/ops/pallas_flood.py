@@ -339,10 +339,18 @@ def _flood_kernel(
                             if mxu:
                                 # |y−x|² = |y|² − 2 y·x + |x|²; the cross
                                 # term rides the systolic array
+                                # HIGHEST: the TPU MXU's default f32
+                                # precision is a single bf16 pass, which
+                                # rounds coordinates to 8-bit mantissas
+                                # (~4e-3 relative on the cross term) —
+                                # enough to breach the 5e-4 oracle
+                                # tolerance. Interpret mode computes
+                                # exact f32 and cannot catch this.
                                 xy = jax.lax.dot_general(
                                     ymask, x,
                                     (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST,
                                 )  # (SUB, RT)
                                 x2 = jnp.sum(
                                     x * x, axis=0, keepdims=True
@@ -771,7 +779,7 @@ class PallasFloodEngine:
         # Undo the Morton sample permutation: column i holds original
         # sample sperm[i].
         inv = np.argsort(sperm)
-        return jnp.sqrt(out[:, jnp.asarray(inv)])
+        return jnp.sqrt(_inf_masked(out[:, jnp.asarray(inv)]))
 
     def min_distances_facemax(
         self, verts, weights, centers, radii, batch_size, tight=False,
@@ -1017,14 +1025,27 @@ def _block_bounds(acc):
     return jnp.max(jnp.max(acc, axis=2), axis=1)
 
 
+# Squared distances at or above this are the in-kernel mask constant
+# (out-of-ball witnesses are moved to coordinate 3e18, so a sub-chunk
+# whose witnesses are ALL outside the ball yields ≥ 9e36) — semantically
+# "no witness in the ball", which the dense engine reports as +inf.
+# Real squared distances are < 1e30 for any coordinates below ~1e15.
+# (plain float: module import must never touch the JAX backend)
+_MASKED_D2 = 1e30
+
+
+def _inf_masked(acc2):
+    return jnp.where(acc2 >= _MASKED_D2, jnp.inf, acc2)
+
+
 @jax.jit
 def _max_sqrt_epilogue(acc2):
-    return jnp.sqrt(jnp.max(acc2, axis=-1))
+    return jnp.sqrt(_inf_masked(jnp.max(acc2, axis=-1)))
 
 
 @jax.jit
 def _facemax_epilogue(acc2, tables):
     return tuple(
-        jnp.sqrt(jnp.max(jnp.take(acc2, t, axis=1), axis=-1))
+        jnp.sqrt(_inf_masked(jnp.max(jnp.take(acc2, t, axis=1), axis=-1)))
         for t in tables
     )

@@ -68,6 +68,44 @@ def test_landmarks_exceed_points_in_ball_masks():
     assert all(np.isfinite(v) for v in fc.values())
 
 
+def test_empty_ball_is_inf_on_every_engine():
+    """A simplex whose bounding ball contains NO witness must get +inf on
+    the Pallas engine too, even when the ball's bbox overlaps a witness
+    sub-chunk bbox (the kernel computes the tile with every witness
+    masked to the far constant — the epilogue must report inf, matching
+    the dense engines, not ~3e18)."""
+    rng = np.random.default_rng(7)
+    # two witness clusters, both inside ONE sub-chunk (n < SUB), so the
+    # sub-chunk bbox spans x in [~0.2, ~0.8] and CONTAINS the ball centre
+    # below — the sub-chunk is admitted, then every witness is masked
+    centers = np.array([[0.2, 0.5], [0.8, 0.5]], np.float32)
+    pts = (
+        centers[rng.integers(0, 2, 400)]
+        + rng.normal(0, 0.02, (400, 2))
+    ).astype(np.float32)
+    # landmark triangle in the empty middle: inflated circumball radius
+    # ~0.085 reaches no witness (nearest is ~0.25 away)
+    lms = np.array(
+        [[0.45, 0.45], [0.55, 0.45], [0.5, 0.55]], np.float32
+    )
+    fc_dense = flood_complex(
+        pts, lms, points_per_edge=6, use_pallas=False,
+        landmarks_in_cloud=False,
+    )
+    fc_pallas = flood_complex(
+        pts, lms, points_per_edge=6, use_pallas=True,
+        landmarks_in_cloud=False,
+    )
+    assert set(fc_dense) == set(fc_pallas)
+    assert any(np.isinf(v) for v in fc_dense.values())
+    for s, v in fc_dense.items():
+        got = fc_pallas[s]
+        if np.isinf(v):
+            assert np.isinf(got), f"{s}: pallas {got}, dense inf"
+        else:
+            assert got == pytest.approx(v, abs=1e-5)
+
+
 def test_shared_face_min_combine_order_independent():
     """Documented deviation from the reference (ref core.py:251-268): a
     face shared by several top-simplices gets the **min** over the
