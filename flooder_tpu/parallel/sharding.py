@@ -216,9 +216,13 @@ class MeshPallasFloodEngine:
         out, sperm, num_simplices, s_total, r2_total = self._run_kernel(
             verts, weights, centers, radii, tight
         )
+        from ..ops.pallas_flood import _inf_masked
+
         out = out.reshape(s_total, r2_total)[:num_simplices]
         inv = np.argsort(sperm)
-        return jnp.sqrt(out[:, jnp.asarray(inv)])
+        # same empty-ball normalization as the single-chip engine: a tile
+        # computed with every witness masked must report inf, not ~9e36
+        return jnp.sqrt(_inf_masked(out[:, jnp.asarray(inv)]))
 
     def min_distances_facemax(
         self, verts, weights, centers, radii, batch_size, tight=False,

@@ -104,6 +104,19 @@ def test_empty_ball_is_inf_on_every_engine():
             assert np.isinf(got), f"{s}: pallas {got}, dense inf"
         else:
             assert got == pytest.approx(v, abs=1e-5)
+    # the mesh engine shares the mask constant and must normalize too
+    from flooder_tpu.parallel import make_mesh
+
+    fc_mesh = flood_complex(
+        pts, lms, points_per_edge=6, mesh=make_mesh(simplex_parallel=2),
+        landmarks_in_cloud=False,
+    )
+    for s, v in fc_dense.items():
+        got = fc_mesh[s]
+        if np.isinf(v):
+            assert np.isinf(got), f"{s}: mesh {got}, dense inf"
+        else:
+            assert got == pytest.approx(v, abs=1e-5)
 
 
 def test_shared_face_min_combine_order_independent():
