@@ -119,8 +119,12 @@ EOF
   timeout 1200 python -m flooder_tpu.cli --input-file /tmp/cheese_1m.npy \
     --num-landmarks 1000 --trace-dir tpu_runs/trace_r04 \
     --stats-json tpu_runs/cli_stats_r04.json || true
+  echo "== 2M x 1k (BASELINE.json north-star config) =="
+  timeout 1500 python bench.py --points 2000000 --landmarks 1000 --reps 2
   echo "== 2M x 10k stress =="
   timeout 2400 python bench.py --points 2000000 --landmarks 10000 --reps 1
+  echo "== example_02 (1M torus, 2k landmarks, FPS/complex/PH split) =="
+  timeout 1800 python examples/example_02_torus_3d.py --reps 2 || true
   echo "== example_01 (incl. 10M row) =="
   timeout 3600 python examples/example_01_cheese_3d.py --reps 1 || true
   echo "== example_03 (40M 2-D figure-eight) =="
