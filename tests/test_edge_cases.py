@@ -119,6 +119,34 @@ def test_empty_ball_is_inf_on_every_engine():
             assert got == pytest.approx(v, abs=1e-5)
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_nontight_jittered_landmark_parity(seed):
+    """Pallas vs dense parity with landmarks jittered OFF the cloud
+    (non-tight mode disables the lossless tile prune and exercises the
+    witness-mask paths the tight-mode tests never reach)."""
+    from flooder_tpu import generate_noisy_torus_points_3d, generate_landmarks
+
+    rng = np.random.default_rng(seed)
+    pts = generate_noisy_torus_points_3d(1200, seed=seed)
+    lms = np.asarray(generate_landmarks(pts, 60, start_idx=0))
+    lms = (lms + rng.normal(0, 0.05, lms.shape)).astype(np.float32)
+    fc_dense = flood_complex(
+        pts, lms, points_per_edge=6, use_pallas=False,
+        landmarks_in_cloud=False,
+    )
+    fc_pallas = flood_complex(
+        pts, lms, points_per_edge=6, use_pallas=True,
+        landmarks_in_cloud=False,
+    )
+    assert set(fc_dense) == set(fc_pallas)
+    for s, v in fc_dense.items():
+        got = fc_pallas[s]
+        if np.isinf(v):
+            assert np.isinf(got)
+        else:
+            assert got == pytest.approx(v, abs=1e-5), s
+
+
 def test_shared_face_min_combine_order_independent():
     """Documented deviation from the reference (ref core.py:251-268): a
     face shared by several top-simplices gets the **min** over the
