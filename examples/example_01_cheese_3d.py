@@ -40,6 +40,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="CI-sized sweep")
     ap.add_argument("--reps", type=int, default=None)
+    ap.add_argument(
+        "--alpha-max-n",
+        type=int,
+        default=None,
+        help="skip the Alpha-PH baseline above this cloud size (the host "
+        "Alpha at 1M+ points costs minutes-to-hours on one core and its "
+        "reference numbers are already recorded in BASELINE.md; the Flood "
+        "rows still run at every size)",
+    )
     args = ap.parse_args()
 
     if args.small:
@@ -68,22 +77,31 @@ def main():
                 n_pts, rect_min, rect_max, k, void_radius_range
             )
 
-            startt = time.perf_counter()
-            alpha = AlphaComplex(points).create_simplex_tree(
-                output_squared_values=False
-            )
-            t1 = time.perf_counter() - startt
-            alpha.compute_persistence()
-            t2 = time.perf_counter() - startt
-            print(
-                f"{RED}{n_pts:8d} points (try {rep}) | "
-                f"Complex (Alpha): {t1:6.2f} sec | "
-                f"PH (Alpha): {t2:6.2f} sec{RESET}"
-            )
-            results.append(
-                dict(rep=rep, n_pts=n_pts, method="Alpha", complex_time=t1, ph_time=t2)
-            )
-            _ = alpha.persistence_intervals_in_dimension(dim - 1)
+            if args.alpha_max_n is not None and n_pts > args.alpha_max_n:
+                print(
+                    f"{RED}{n_pts:8d} points (try {rep}) | "
+                    f"Alpha skipped (--alpha-max-n {args.alpha_max_n}){RESET}"
+                )
+            else:
+                startt = time.perf_counter()
+                alpha = AlphaComplex(points).create_simplex_tree(
+                    output_squared_values=False
+                )
+                t1 = time.perf_counter() - startt
+                alpha.compute_persistence()
+                t2 = time.perf_counter() - startt
+                print(
+                    f"{RED}{n_pts:8d} points (try {rep}) | "
+                    f"Complex (Alpha): {t1:6.2f} sec | "
+                    f"PH (Alpha): {t2:6.2f} sec{RESET}"
+                )
+                results.append(
+                    dict(
+                        rep=rep, n_pts=n_pts, method="Alpha",
+                        complex_time=t1, ph_time=t2,
+                    )
+                )
+                _ = alpha.persistence_intervals_in_dimension(dim - 1)
 
             # device warmup (compile cache)
             _ = flood_complex(points[:2000], n_lms, batch_size=batch_sizes[i])

@@ -125,8 +125,9 @@ EOF
   timeout 2400 python bench.py --points 2000000 --landmarks 10000 --reps 1
   echo "== example_02 (1M torus, 2k landmarks, FPS/complex/PH split) =="
   timeout 1800 python examples/example_02_torus_3d.py --reps 2 || true
-  echo "== example_01 (incl. 10M row) =="
-  timeout 3600 python examples/example_01_cheese_3d.py --reps 1 || true
+  echo "== example_01 (incl. 10M row; host-Alpha capped at 100k) =="
+  timeout 3600 python examples/example_01_cheese_3d.py --reps 1 \
+    --alpha-max-n 100000 || true
   echo "== example_03 (40M 2-D figure-eight) =="
   timeout 3600 python examples/example_03_figure_eight_2d.py || true
 }
