@@ -25,13 +25,9 @@ sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
 )
 
-if os.environ.get("JAX_PLATFORMS") == "cpu":
-    # honor a CPU-backend request at the config level too: the
-    # environment's sitecustomize may force-register an accelerator
-    # platform regardless of JAX_PLATFORMS
-    import jax
+from flooder_tpu._platform import force_cpu_if_requested
 
-    jax.config.update("jax_platforms", "cpu")
+force_cpu_if_requested()
 
 import numpy as np
 

@@ -13,13 +13,12 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-# Honor a CPU-backend request at the config level: this environment's
-# sitecustomize force-registers the accelerator, so the env var alone
-# would still initialize (and hang on a wedged) TPU.
-if os.environ.get("JAX_PLATFORMS") == "cpu":
-    import jax
+# Honor a CPU-backend request at the config level via the one shared
+# guard (flooder_tpu/_platform.py documents why the env var alone is
+# not enough in this environment).
+from flooder_tpu._platform import force_cpu_if_requested
 
-    jax.config.update("jax_platforms", "cpu")
+force_cpu_if_requested()
 
 
 import argparse

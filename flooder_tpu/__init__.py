@@ -54,7 +54,7 @@ from .synthetic_data_generators import (
     generate_figure_eight_points_2d,
 )
 
-__version__ = "1.0"
+__version__ = "1.0.1"
 
 __all__ = [
     "flood_complex",

@@ -147,9 +147,15 @@ def main():
         )
     pts = np.asarray(pts, np.float32)
     n, dim = pts.shape
-    # same curve parameters as _fps_prepare (pallas_fps.py:266-268)
+    # same curve parameters as _fps_prepare (pallas_fps.py:266-268).
+    # Quantize in float32, NOT float64: the kernel's device-side
+    # hilbert_codes runs on f32 points, and a point whose quantized cell
+    # flips under f64 rounding would land in a different chunk, drifting
+    # the admitted-visit counts this tool claims are exact. numpy's weak
+    # scalar promotion keeps (pts - lo) / extent * (2**bits - 1e-3) in
+    # f32, matching the device arithmetic op-for-op.
     bits = max(1, min(10, 24 // dim))
-    codes = hilbert_codes_np(pts.astype(np.float64), bits)
+    codes = hilbert_codes_np(pts, bits)
     order = np.argsort(codes, kind="stable")
     pts_sorted = pts[order]
     start_sorted = int(np.nonzero(order == 0)[0][0])

@@ -29,11 +29,14 @@ def main():
 
     import jax
 
-    # honor JAX_PLATFORMS=cpu at the config level too (sitecustomize
-    # force-registers the accelerator regardless of the env var — same
-    # guard as bench.py and the examples)
-    if args.cpu or os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    # shared config-level guard (flooder_tpu/_platform.py); --cpu forces
+    # regardless of the environment
+    from flooder_tpu._platform import force_cpu_if_requested
+
+    if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        force_cpu_if_requested()
     import jax.numpy as jnp
     import numpy as np
 

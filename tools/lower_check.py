@@ -57,14 +57,30 @@ def lower_fps(dim, chunk, nchunks, n_samples):
     assert "tpu_custom_call" in txt
 
 
+def _sweep_geometry(rt_env: int, r_count: int):
+    """Replicate ``pallas_flood._tile_geometry`` for an env RT override:
+    the kernel never tiles wider than the (128-padded) sample count, and
+    splits the samples into nr tiles of rt lanes. Lowering the raw env
+    value with nr=1 would gate the WRONG shapes (e.g. RT=8192 on the
+    4960-sample bench grid really compiles rt=4992, and RT<=2048 compiles
+    nr>1 multi-tile kernels)."""
+    rt = min(rt_env, -(-r_count // 128) * 128)
+    nr = -(-r_count // rt)
+    return rt, nr
+
+
 def main():
     # config-level CPU forcing belongs here, not at import time: the
     # lowering tests import the builders above and must not clobber the
     # backend of an on-TPU pytest run (FLOODER_TEST_TPU=1)
     jax.config.update("jax_platforms", "cpu")
-    # (label, bs, rt, sub, mxu) — every geometry phase3 compiles, both
-    # ambient dims used by the BASELINE configs (2-D figure-eight, 3-D
-    # cheese/torus). WCHUNK stays at its shipped 2048 in all combos.
+    # (label, bs, RT-env, sub, mxu) — every geometry phase3 compiles, in
+    # both ambient dims used by the BASELINE configs (2-D figure-eight,
+    # 3-D cheese/torus). WCHUNK stays at its shipped 2048 in all combos.
+    # The bench runs grid mode at 30 points/edge, so the top-dim sample
+    # count is C(32,3)=4960 (3-D) / C(31,2)=465 (2-D); each combo lowers
+    # the exact (rt, nr) tiling the kernel derives from that count.
+    r_counts = {2: 465, 3: 4960}
     combos = []
     for dim in (2, 3):
         combos += [
@@ -79,10 +95,11 @@ def main():
             (f"MXU RT=8192 d{dim} (96MB vmem param)", 8, 8192, 512, dim, True),
         ]
     failures = 0
-    for label, bs, rt, sub, dim, mxu in combos:
+    for label, bs, rt_env, sub, dim, mxu in combos:
+        rt, nr = _sweep_geometry(rt_env, r_counts[dim])
         try:
-            lower_flood(bs, dim, rt, sub, 2048, mxu)
-            print(f"OK   flood {label}")
+            lower_flood(bs, dim, rt, sub, 2048, mxu, nr=nr)
+            print(f"OK   flood {label} (rt={rt} nr={nr})")
         except Exception as e:  # noqa: BLE001
             failures += 1
             msg = str(e).splitlines()[0][:120] if str(e) else type(e).__name__

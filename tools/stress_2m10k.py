@@ -27,10 +27,10 @@ def main():
     ap.add_argument("--landmarks", type=int, default=10_000)
     args = ap.parse_args()
 
-    import jax
+    from flooder_tpu._platform import force_cpu_if_requested
 
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    force_cpu_if_requested()
+    import jax  # noqa: F401
     import jax.numpy as jnp
     import numpy as np
 

@@ -20,7 +20,17 @@ Usage: python tools/sweep_decide.py tpu_runs/sweep_r04.jsonl
 """
 
 import json
+import os
+import subprocess
 import sys
+
+
+def _head_sha() -> str:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        cwd=root, capture_output=True, text=True, check=True,
+    ).stdout.strip()
 
 
 def main(path: str) -> None:
@@ -38,6 +48,28 @@ def main(path: str) -> None:
         print("no sweep rows parsed", file=sys.stderr)
         sys.exit(1)
 
+    # Phase3 appends across reruns; a rerun AFTER a kernel change must not
+    # let a stale (faster, pre-fix) row win a flag decision for code that
+    # no longer exists. Rows are sha-stamped at measurement time; only
+    # rows from the current HEAD count.
+    sha = _head_sha()
+    stale = [r for r in rows if r.get("sha", "") != sha]
+    rows = [r for r in rows if r.get("sha", "") == sha]
+    if stale:
+        print(
+            f"WARNING: discarded {len(stale)} sweep row(s) from other "
+            f"commits ({sorted({r.get('sha', '<unstamped>') for r in stale})}); "
+            f"deciding only from rows measured at HEAD {sha}",
+            file=sys.stderr,
+        )
+    if not rows:
+        print(
+            f"no sweep rows from current HEAD {sha} — re-run phase3 "
+            "before deciding (stale rows measured different code)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
     # keep the best (lowest) value per env combo (reruns overwrite)
     best = {}
     for r in rows:
@@ -47,16 +79,20 @@ def main(path: str) -> None:
 
     baseline = best.get("", None)
     ranked = sorted(best.values(), key=lambda r: r["value"])
+    def _vsb(r):
+        v = r.get("vs_baseline")
+        return f"{v:8.3f}" if v is not None else "     n/a"
+
     print(f"{'time(s)':>9}  {'vs_base':>8}  env")
     for r in ranked:
-        print(f"{r['value']:9.4f}  {r['vs_baseline']:8.3f}  "
+        print(f"{r['value']:9.4f}  {_vsb(r)}  "
               f"{r.get('env', '') or '(default)'}")
 
     win = ranked[0]
     wenv = win.get("env", "")
     print()
     print(f"WINNER: [{wenv or 'default'}] at {win['value']:.4f} s "
-          f"(vs_baseline {win['vs_baseline']:.3f})")
+          f"(vs_baseline {_vsb(win).strip()})")
     if baseline is not None:
         delta = baseline["value"] - win["value"]
         print(f"  margin over shipped default: {delta:+.4f} s")
@@ -82,7 +118,10 @@ def main(path: str) -> None:
         d = flag_delta(flag)
         if d is None:
             continue
-        verdict = "ADOPT" if d > rule else "DELETE"
+        # thresholded flags (kd: "default iff it wins >= 0.1 s") adopt AT
+        # the threshold; zero-rule flags must strictly win or the simpler
+        # code path ships
+        verdict = "ADOPT" if (d >= rule if rule else d > 0) else "DELETE"
         decisions.append((flag, d, verdict))
         print(f"  {flag:<28} {d:+.4f} s  -> {verdict}"
               f"{' (needs oracle gate on hardware)' if 'MXU' in flag and verdict == 'ADOPT' else ''}")

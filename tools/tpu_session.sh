@@ -87,7 +87,7 @@ phase3() {
     # containing quotes/backslashes must not corrupt the parser, and a
     # combo with no JSON line must be LOUD (sweep_decide would otherwise
     # silently decide from an incomplete row set)
-    OUT="$out" V="$v" python - >> "$SWEEP" <<'PYEOF'
+    OUT="$out" V="$v" SHA="$(git rev-parse --short HEAD)" python - >> "$SWEEP" <<'PYEOF'
 import json, os, sys
 for l in os.environ.get("OUT", "").strip().splitlines():
     try:
@@ -95,6 +95,9 @@ for l in os.environ.get("OUT", "").strip().splitlines():
     except Exception:
         continue
     j["env"] = os.environ.get("V", "")
+    # sweep_decide only trusts rows measured at the current HEAD: a rerun
+    # after a kernel fix must not mix in timings of deleted code
+    j["sha"] = os.environ.get("SHA", "")
     print(json.dumps(j))
     break
 else:
