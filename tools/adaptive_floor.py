@@ -9,6 +9,9 @@ min(true-tile-max, static-ub) that the kernel's running-min bound
 approaches from above. Real kernel work lies between floor and ceiling;
 the gap is what better visit ordering / bound refresh could still win.
 
+Scene setup and the admission replay live in tools/pricing_common.py
+(shared with worklist_volume and launch_overhead).
+
 Usage: JAX_PLATFORMS=cpu python tools/adaptive_floor.py
 """
 
@@ -30,60 +33,33 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from flooder_tpu import generate_landmarks, generate_swiss_cheese_points
-    from flooder_tpu.core import _grid_host, simplex_bounding_balls
     from flooder_tpu.ops import pallas_flood as pf
     from flooder_tpu.ops.flood import DenseFloodEngine
-    from flooder_tpu.topology import DelaunayComplex
+    from tools.pricing_common import build_scene, count_admission
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=1_000_000)
     ap.add_argument("--landmarks", type=int, default=1000)
     args = ap.parse_args()
     n_points, n_landmarks = args.points, args.landmarks
-    pts, _, _ = generate_swiss_cheese_points(n_points, k=6, seed=42)
-    pts = jnp.asarray(pts, jnp.float32)
-    lms = generate_landmarks(pts, n_landmarks, start_idx=0)
 
-    engine = pf.PallasFloodEngine(pts, pf.WCHUNK, interpret=True)
-    stree = DelaunayComplex(np.asarray(lms, np.float64)).create_simplex_tree()
-    top = stree._verts[3]
-    sim_verts = lms[jnp.asarray(top)]
-    centers, radii = simplex_bounding_balls(sim_verts)
-    order = engine.order(centers)
-    sim_verts = sim_verts[order]
-    centers = centers[order]
-    radii = radii[order]
-
-    grid_np, _, _ = _grid_host(30, 3)
-    weights = jnp.asarray(grid_np, jnp.float32)
-    num_simplices = sim_verts.shape[0]
+    sc = build_scene(n_points, n_landmarks)
+    engine = sc.engine
+    num_simplices = sc.num_simplices
     print(f"simplices {num_simplices}", file=sys.stderr)
 
     # exact minima via the native CPU engine (same algorithm, no tiles)
-    dense = DenseFloodEngine(pts, 2048)
+    dense = DenseFloodEngine(sc.pts, 2048)
     dists = np.asarray(
-        dense.min_distances(sim_verts, weights, centers, radii, 4096)
+        dense.min_distances(
+            sc.sim_verts, sc.weights, sc.centers, sc.radii, 4096
+        )
     )  # (S, R) in original sample order
     print("exact distances done", file=sys.stderr)
 
-    # tile layout identical to the production engine
-    n_sblocks = 1 << max(0, (-(-num_simplices // pf.BS) - 1)).bit_length()
-    s_total = n_sblocks * pf.BS
-    rt, nr, r2_total = pf._tile_geometry(weights.shape[0])
-    verts_p, centers_p, radii_p = pf._pad_simplices(
-        sim_verts, centers, radii, s_total
-    )
-    weights_p, sperm = pf._prepare_sample_weights(weights, r2_total)
-    verts_local = verts_p - centers_p[:, None, :]
-    samples, tile_lo, tile_hi, ub2, active_d, pairdist_d = pf._prep(
-        verts_local, weights_p, centers_p, radii_p,
-        engine.chunk_lo, engine.chunk_hi,
-        bs=pf.BS, nr=nr, rt=rt, tight=True, wchunk=engine.wchunk,
-    )
-    active = np.asarray(jax.device_get(active_d))
-
-    d2_perm = (dists[:, sperm].astype(np.float64)) ** 2  # (S, R) permuted
+    rt, nr, r2_total = sc.rt, sc.nr, sc.r2_total
+    s_total = sc.s_total
+    d2_perm = (dists[:, sc.sperm].astype(np.float64)) ** 2  # (S, R) permuted
     pad_cols = r2_total - d2_perm.shape[1]
     if pad_cols:
         d2_perm = np.concatenate(
@@ -93,54 +69,26 @@ def main():
     # padded simplices: zero bound → admit nothing
     ttm = np.zeros((s_total, nr))
     ttm[:num_simplices] = tile_true_max
-    u2 = np.asarray(ub2)[:, :, 0]
+    u2 = sc.u2
     bound = np.minimum(ttm, u2)  # (S, NR): converged adaptive bound
 
-    wit = np.asarray(engine.witnesses).T
-    nsub = engine.wchunk // pf.SUB
-    n_chunks = wit.shape[0] // engine.wchunk
-    subs = wit.reshape(n_chunks * nsub, pf.SUB, -1)
-    sub_lo = subs.min(axis=1)
-    sub_hi = subs.max(axis=1)
+    cen, rad = sc.cen, sc.rad
+    t_lo, t_hi = sc.t_lo, sc.t_hi
+    sub_lo, sub_hi, nsub = sc.sub_lo, sc.sub_hi, sc.nsub
+    n_chunks = sc.n_chunks
+    wit = sc.wit
 
-    cen = np.asarray(centers_p)
-    rad = np.asarray(radii_p)
-    t_lo = np.asarray(tile_lo)
-    t_hi = np.asarray(tile_hi)
-
-    pair_s, pair_c = np.nonzero(active)
-    floor_tiles = 0
-    B = 2048
-    for beg in range(0, len(pair_s), B):
-        ps = pair_s[beg:beg + B]
-        pc = pair_c[beg:beg + B]
-        sidx = (ps[:, None] * pf.BS + np.arange(pf.BS)[None, :]).reshape(-1)
-        subi = (pc[:, None] * nsub + np.arange(nsub)[None, :]).reshape(-1)
-        c_b = cen[sidx].reshape(len(ps), pf.BS, 1, -1)
-        r_b = rad[sidx].reshape(len(ps), pf.BS, 1)
-        bl = sub_lo[subi].reshape(len(ps), 1, nsub, -1)
-        bh = sub_hi[subi].reshape(len(ps), 1, nsub, -1)
-        near = np.clip(c_b, bl, bh) - c_b
-        ball_ok = np.sum(near * near, axis=-1) <= r_b * r_b
-        ui, uj, uk = np.nonzero(ball_ok)
-        if not len(ui):
-            continue
-        sidx2 = ps[ui] * pf.BS + uj
-        subi2 = pc[ui] * nsub + uk
-        blo = sub_lo[subi2][:, None, :] - cen[sidx2][:, None, :]
-        bhi = sub_hi[subi2][:, None, :] - cen[sidx2][:, None, :]
-        tgap = np.maximum(np.maximum(blo - t_hi[sidx2], t_lo[sidx2] - bhi), 0.0)
-        tgap2 = np.sum(tgap * tgap, axis=-1)  # (U, NR)
-        floor_tiles += int((tgap2 <= bound[sidx2]).sum())
+    pair_s, pair_c = np.nonzero(sc.active)
+    _, floor_tiles = count_admission(sc, pair_s, pair_c, bound)
 
     # pair-level: how many work-list pairs survive when the per-simplex
     # static bound is replaced by the converged bound? (a two-phase
     # bound-refresh pass would skip the dropped pairs' launches entirely)
     bound_max = bound.max(axis=1)  # (S,) converged per-simplex bound
-    samp_lo_g = np.asarray(jnp.min(tile_lo, axis=1)) + cen
-    samp_hi_g = np.asarray(jnp.max(tile_hi, axis=1)) + cen
+    samp_lo_g, samp_hi_g = sc.samp_lo_g, sc.samp_hi_g
     chunk_lo = np.asarray(engine.chunk_lo)
     chunk_hi = np.asarray(engine.chunk_hi)
+    n_sblocks = sc.n_sblocks
     c3 = cen.reshape(n_sblocks, pf.BS, 1, 3)
     r3 = rad.reshape(n_sblocks, pf.BS, 1)
     nearest = np.clip(c3, chunk_lo[None, None], chunk_hi[None, None])
@@ -165,7 +113,7 @@ def main():
     # ------------------------------------------------------------------
     import time as _time
 
-    pairdist = np.asarray(jax.device_get(pairdist_d))
+    pairdist = np.asarray(jax.device_get(sc.pairdist_d))
     # same clamp as the engine (pallas_flood.py _run_kernel): k_a >= 1
     k_a = max(1, int(os.environ.get("FLOODER_PALLAS_PHASEA", "1")))
     o = np.lexsort((pairdist[pair_s, pair_c], pair_s))
@@ -181,7 +129,7 @@ def main():
     # |s|^2 - 2 s.y + |y|^2; good to ~1e-4 absolute on these coordinates,
     # plenty for a counting model)
     chunks_w = wit.reshape(n_chunks, engine.wchunk, -1).astype(np.float32)
-    samples_host = np.asarray(samples)  # (S_total, NR, dim, RT) ball-local
+    samples_host = np.asarray(sc.samples)  # (S_total, NR, dim, RT) ball-local
     pm_tile = np.full((s_total, nr), np.inf, dtype=np.float64)
     for b in np.unique(pa_s):
         sidx = b * pf.BS + np.arange(pf.BS)
@@ -209,9 +157,9 @@ def main():
     # within the tile's static bound. _block_bounds then propagates the
     # inf, and the engine's per-simplex refresh falls back to the static
     # bound for any simplex with an uncomputed tile
-    # (pallas_flood.py:951-954). Without this mask the model prices a
-    # bound the shipped kernel cannot realize (systematically optimistic
-    # for phase B).
+    # (pallas_flood.py `_run_kernel` two-phase branch). Without this mask
+    # the model prices a bound the shipped kernel cannot realize
+    # (systematically optimistic for phase B).
     computed = np.zeros((s_total, nr), dtype=bool)
     for b in np.unique(pa_s):
         sidx = b * pf.BS + np.arange(pf.BS)
@@ -251,7 +199,7 @@ def main():
 
     def production_refresh():
         a_d, d_d = pf._active_pairs_matrix(
-            centers_p, radii_p, samp_lo_j, samp_hi_j, ub2max_new_j,
+            sc.centers_p, sc.radii_p, samp_lo_j, samp_hi_j, ub2max_new_j,
             engine.chunk_lo, engine.chunk_hi, engine.wchunk, pf.BS,
         )
         a2, d2 = jax.device_get((a_d, d_d))
@@ -269,36 +217,9 @@ def main():
     # tile admission volumes: static bound for phase A (bounds start
     # static), realized bound for phase B (conservative: the in-kernel
     # bound keeps tightening below it)
-    def tile_volume(ps_l, pc_l, bnd):
-        tiles = 0
-        for beg in range(0, len(ps_l), B):
-            ps_b = ps_l[beg:beg + B]
-            pc_b = pc_l[beg:beg + B]
-            sidx = (ps_b[:, None] * pf.BS + np.arange(pf.BS)[None, :]).reshape(-1)
-            subi = (pc_b[:, None] * nsub + np.arange(nsub)[None, :]).reshape(-1)
-            c_b = cen[sidx].reshape(len(ps_b), pf.BS, 1, -1)
-            r_b = rad[sidx].reshape(len(ps_b), pf.BS, 1)
-            bl = sub_lo[subi].reshape(len(ps_b), 1, nsub, -1)
-            bh = sub_hi[subi].reshape(len(ps_b), 1, nsub, -1)
-            near_b = np.clip(c_b, bl, bh) - c_b
-            ok = np.sum(near_b * near_b, axis=-1) <= r_b * r_b
-            ui, uj, uk = np.nonzero(ok)
-            if not len(ui):
-                continue
-            sidx2 = ps_b[ui] * pf.BS + uj
-            subi2 = pc_b[ui] * nsub + uk
-            blo = sub_lo[subi2][:, None, :] - cen[sidx2][:, None, :]
-            bhi = sub_hi[subi2][:, None, :] - cen[sidx2][:, None, :]
-            tg = np.maximum(
-                np.maximum(blo - t_hi[sidx2], t_lo[sidx2] - bhi), 0.0
-            )
-            tg2 = np.sum(tg * tg, axis=-1)
-            tiles += int((tg2 <= bnd[sidx2]).sum())
-        return tiles
-
-    static_tiles = tile_volume(pair_s, pair_c, u2)
-    a_tiles = tile_volume(pa_s, pa_c, u2)
-    b_tiles = tile_volume(pb_s, pb_c, realized_tile_bound)
+    _, static_tiles = count_admission(sc, pair_s, pair_c, u2)
+    _, a_tiles = count_admission(sc, pa_s, pa_c, u2)
+    _, b_tiles = count_admission(sc, pb_s, pb_c, realized_tile_bound)
 
     seg_a = 2048  # fixed phase-A segment (ops/pallas_flood.py run_pairs)
     launches_single = -(-len(pair_s) // pf.PAIR_SEGMENT)

@@ -7,6 +7,9 @@ work-list segment whose pairs are all from a fully-inactive (zero-
 radius) block costs only admission checks, so timing S back-to-back
 such launches isolates dispatch + scalar-prefetch + grid overhead.
 
+Scene setup lives in tools/pricing_common.py (shared with
+worklist_volume and adaptive_floor).
+
 Usage: python tools/launch_overhead.py [--segments 16]
 (runs on whatever backend jax selects; pass through the wedge guard
 with a bounded timeout when driving the real chip)
@@ -40,38 +43,13 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from flooder_tpu import generate_landmarks, generate_swiss_cheese_points
-    from flooder_tpu.core import _grid_host, simplex_bounding_balls
     from flooder_tpu.ops import pallas_flood as pf
-    from flooder_tpu.topology import DelaunayComplex
+    from tools.pricing_common import build_scene
 
-    pts, _, _ = generate_swiss_cheese_points(args.points, k=6, seed=42)
-    pts = jnp.asarray(pts, jnp.float32)
-    lms = generate_landmarks(pts, 300, start_idx=0)
-    engine = pf.PallasFloodEngine(pts, pf.WCHUNK)
-    stree = DelaunayComplex(np.asarray(lms, np.float64)).create_simplex_tree()
-    sim_verts = lms[jnp.asarray(stree._verts[3])]
-    centers, radii = simplex_bounding_balls(sim_verts)
-    order = engine.order(centers)
-    sim_verts, centers, radii = sim_verts[order], centers[order], radii[order]
-
-    grid_np, _, _ = _grid_host(30, 3)
-    weights = jnp.asarray(grid_np, jnp.float32)
-    num_simplices = sim_verts.shape[0]
-    n_sblocks = 1 << max(0, (-(-num_simplices // pf.BS) - 1)).bit_length()
-    s_total = n_sblocks * pf.BS
-    rt, nr, r2_total = pf._tile_geometry(weights.shape[0])
-    verts_p, centers_p, radii_p = pf._pad_simplices(
-        sim_verts, centers, radii, s_total
-    )
-    weights_p, _ = pf._prepare_sample_weights(weights, r2_total)
-    samples, tile_lo, tile_hi, ub2, active_d, _pd = pf._prep(
-        verts_p - centers_p[:, None, :], weights_p, centers_p, radii_p,
-        engine.chunk_lo, engine.chunk_hi,
-        bs=pf.BS, nr=nr, rt=rt, tight=True, wchunk=engine.wchunk,
-    )
-    active = np.asarray(jax.device_get(active_d))
-    pad = pf.select_pad_pair(active)
+    # interpret=None: let the engine pick for the real backend
+    sc = build_scene(args.points, 300, interpret=None)
+    engine = sc.engine
+    pad = pf.select_pad_pair(sc.active)
     if pad is None:
         print("no fully-inactive block; raise --points", file=sys.stderr)
         sys.exit(1)
@@ -81,14 +59,14 @@ def main():
     pc = np.full(seg_len, pad[1], np.int32)
     first = np.zeros(seg_len, np.int32)
     first[0] = 1
-    acc = jnp.full((s_total, nr, rt), jnp.inf, dtype=jnp.float32)
+    acc = jnp.full((sc.s_total, sc.nr, sc.rt), jnp.inf, dtype=jnp.float32)
     interp = engine.interpret
 
     def launch(a):
         return pf._flood_pairs_call(
             jnp.asarray(ps), jnp.asarray(pc), jnp.asarray(first),
-            samples, engine.witnesses, centers_p, radii_p[:, None],
-            tile_lo, tile_hi, ub2, a,
+            sc.samples, engine.witnesses, sc.centers_p, sc.radii_p[:, None],
+            sc.tile_lo, sc.tile_hi, sc.ub2, a,
             bs=pf.BS, dim=3, nsub=engine.wchunk // pf.SUB, sub=pf.SUB,
             interpret=interp, mxu=False,
         )
