@@ -185,3 +185,42 @@ def test_pallas_4d_interpret():
     fc_p = flood_complex(pts, 40, points_per_edge=5, use_pallas=True, start_idx=0)
     for s, v in fc_d.items():
         assert fc_p[s] == pytest.approx(v, abs=1e-5, nan_ok=True)
+
+
+def test_5d_cloud_grid_mode():
+    """SURVEY phase-5 hardening: 5-D ambient dim stresses the stars-and-
+    bars grid (C(n+dim-1, dim) growth) and face enumeration (2^6-1 faces
+    per top simplex; ref core.py:346-402 caps nothing by dimension)."""
+    rng = np.random.default_rng(7)
+    pts = rng.random((1200, 5)).astype(np.float32)
+    fc = flood_complex(pts, 24, points_per_edge=4, start_idx=0)
+    max_card = max(len(s) for s in fc)
+    assert max_card == 6  # 5-simplices present
+    # valid filtered complex: every face value <= coface value
+    for s, v in fc.items():
+        if len(s) == 1:
+            continue
+        for drop in range(len(s)):
+            face = s[:drop] + s[drop + 1:]
+            assert fc[face] <= v + 1e-6
+    st = SimplexTree()
+    for s, v in fc.items():
+        st.insert(s, v)
+    st.compute_persistence()
+    d0 = st.persistence_intervals_in_dimension(0)
+    assert np.isinf(d0[:, 1]).sum() == 1  # connected
+
+
+def test_6d_cloud_random_mode():
+    """6-D random-sampling mode: every dimension bucket 0..6 is looped
+    (random mode visits every dim, ref core.py:149-150) and values are
+    finite with landmarks inside the cloud."""
+    rng = np.random.default_rng(8)
+    pts = rng.random((800, 6)).astype(np.float32)
+    np.random.seed(3)
+    fc = flood_complex(
+        pts, 16, num_rand=32, points_per_edge=None, start_idx=0
+    )
+    cards = {len(s) for s in fc}
+    assert cards == set(range(1, 8))  # 0..6-simplices all present
+    assert all(np.isfinite(v) for v in fc.values())
