@@ -69,3 +69,90 @@ def test_generate_grid_matches_reference_exactly(n, dim):
     for k in range(len(f)):
         np.testing.assert_array_equal(np.asarray(f[k]), f_ref[k].numpy())
         np.testing.assert_array_equal(np.asarray(v[k]), v_ref[k].numpy())
+
+
+def _load_reference_generators():
+    pytest.importorskip("torch")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_ref_synth",
+        "/root/reference/flooder/synthetic_data_generators.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_generators_distributional_parity():
+    """Run the reference's generators and ours with identical parameters
+    and compare distributions (RNG streams differ by design — the
+    reference draws from torch/legacy-numpy, this package from
+    numpy's Generator — so the comparison is statistical, not bitwise)."""
+    import flooder_tpu as ft
+
+    ref = _load_reference_generators()
+    n = 50_000
+
+    # figure-eight: lobe structure and radial law. The lobes overlap
+    # (centers 0.4 apart, radii up to 0.3), so only the UPPER bound of
+    # the nearest-center distance is a hard invariant; the distribution
+    # itself is compared by quantiles.
+    a = np.asarray(ref.generate_figure_eight_points_2d(n, seed=1).numpy())
+    b = np.asarray(ft.generate_figure_eight_points_2d(n, seed=2))
+    for pts in (a, b):
+        assert pts.shape == (n, 2) and pts.dtype == np.float32
+    np.testing.assert_allclose(a.mean(0), b.mean(0), atol=0.01)
+    np.testing.assert_allclose(a.std(0), b.std(0), atol=0.01)
+    qs = np.linspace(0.05, 0.95, 10)
+
+    def near_center_dist(pts):
+        return np.minimum(
+            np.linalg.norm(pts - np.array([0.3, 0.5]), axis=1),
+            np.linalg.norm(pts - np.array([0.7, 0.5]), axis=1),
+        )
+
+    da, db = near_center_dist(a), near_center_dist(b)
+    assert da.max() <= 0.3 + 1e-5 and db.max() <= 0.3 + 1e-5
+    np.testing.assert_allclose(
+        np.quantile(da, qs), np.quantile(db, qs), atol=0.01
+    )
+
+    # swiss cheese: box bounds, void radius law, voids actually empty
+    ar, ac, arad = ref.generate_swiss_cheese_points(
+        n, k=6, seed=3, device="cpu"
+    )
+    br, bc, brad = ft.generate_swiss_cheese_points(n, k=6, seed=4)
+    for pts, cen, rad in ((ar.numpy(), ac.numpy(), arad.numpy()),
+                          (np.asarray(br), np.asarray(bc), np.asarray(brad))):
+        assert pts.shape == (n, 3) and cen.shape == (6, 3)
+        assert pts.min() >= 0 and pts.max() <= 5
+        assert rad.min() >= 0.1 - 1e-6 and rad.max() <= 0.5 + 1e-6
+        gaps = np.linalg.norm(pts[:, None, :] - cen[None, :, :], axis=2)
+        assert (gaps >= rad[None, :] - 1e-5).all()  # no point inside a void
+    np.testing.assert_allclose(
+        ar.numpy().mean(0), np.asarray(br).mean(0), atol=0.05
+    )
+
+    # annulus: ring law (uniform area => E[r^2] = (r_in^2 + r_out^2)/2)
+    a2 = ref.generate_annulus_points_2d(n, seed=5).numpy()
+    b2 = np.asarray(ft.generate_annulus_points_2d(n, seed=6))
+    ra = np.linalg.norm(a2 - a2.mean(0), axis=1)
+    rb = np.linalg.norm(b2 - b2.mean(0), axis=1)
+    np.testing.assert_allclose(ra.mean(), rb.mean(), atol=0.01)
+    np.testing.assert_allclose((ra**2).mean(), (rb**2).mean(), atol=0.02)
+
+    # torus: distance to the R=3 ring is ~|N(r=1, noise)| for both
+    a3 = ref.generate_noisy_torus_points_3d(n, seed=7).numpy()
+    b3 = np.asarray(ft.generate_noisy_torus_points_3d(n, seed=8))
+
+    def ring_dist(p):
+        rho = np.linalg.norm(p[:, :2], axis=1)
+        return np.sqrt((rho - 3.0) ** 2 + p[:, 2] ** 2)
+
+    np.testing.assert_allclose(
+        ring_dist(a3).mean(), ring_dist(b3).mean(), atol=0.02
+    )
+    np.testing.assert_allclose(
+        ring_dist(a3).std(), ring_dist(b3).std(), atol=0.02
+    )
