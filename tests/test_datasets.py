@@ -127,3 +127,90 @@ def test_pinned_checksums():
     assert CoralDataset.checksum.fget(None).startswith("e8b5ae6b")
     assert MCBDataset.checksum.fget(None).startswith("dc36e1c5")
     assert ModelNet10Dataset.checksum.fget(None).startswith("6f9504d5")
+
+
+def test_archive_pipeline_offline(tmp_path):
+    """End-to-end FlooderDataset archive path without network: pre-place
+    a synthetic .tar.zst (the manual-download path the ImportError
+    message documents), then check extraction (zstd stream + tar
+    data_filter guard), per-.npy processing, the _done sentinel,
+    split persistence, loading, and artifact-resume on reinstantiation
+    (reference datasets.py:562-677 semantics)."""
+    zstd = pytest.importorskip("zstandard")
+    import io
+    import tarfile
+
+    import yaml
+
+    from flooder_tpu.datasets import ModelNet10Dataset
+
+    # build the archive in memory: folder_name/{meta,splits}.yaml + .npy
+    rng = np.random.default_rng(0)
+    files = {
+        "chair_0001.npy": rng.integers(
+            -32767, 32767, size=(50, 3), dtype=np.int64
+        ),
+        "desk_0002.npy": rng.integers(
+            -32767, 32767, size=(40, 3), dtype=np.int64
+        ),
+    }
+    meta = {
+        "data": {
+            "chair_0001.npy": {"label": 0},
+            "desk_0002.npy": {"label": 1},
+        }
+    }
+    splits = {"splits": {"0": {"trn": [0], "tst": [1]}}}
+    tar_buf = io.BytesIO()
+    with tarfile.open(fileobj=tar_buf, mode="w") as tar:
+        def add(name, payload: bytes):
+            info = tarfile.TarInfo(f"modelnet10_250k/{name}")
+            info.size = len(payload)
+            tar.addfile(info, io.BytesIO(payload))
+
+        add("meta.yaml", yaml.safe_dump(meta).encode())
+        add("splits.yaml", yaml.safe_dump(splits).encode())
+        for name, arr in files.items():
+            b = io.BytesIO()
+            np.save(b, arr)
+            add(name, b.getvalue())
+    root = tmp_path / "mn10"
+    (root / "raw").mkdir(parents=True)
+    with open(root / "raw" / "modelnet10_250k.tar.zst", "wb") as f:
+        f.write(zstd.ZstdCompressor().compress(tar_buf.getvalue()))
+
+    ds = ModelNet10Dataset(str(root))
+    assert len(ds) == 2
+    assert ds.num_classes == 2 and ds.classes == [0, 1]
+    # /32767 processing semantics, sorted file order
+    np.testing.assert_allclose(
+        ds[0].x, (files["chair_0001.npy"] / 32767).astype(np.float32)
+    )
+    assert ds[0].name == "chair_0001" and int(ds[1].y) == 1
+    assert (root / "processed" / "_done").exists()
+    assert ds.splits == splits["splits"]
+
+    # artifact resume: with raw + _done present, reinstantiation skips
+    # download AND process (reference datasets.py:262-287). Corrupt the
+    # archive and delete the extracted tree to prove neither is touched;
+    # the raw file itself must stay (its absence re-triggers download —
+    # that is reference behavior, not resume).
+    (root / "raw" / "modelnet10_250k.tar.zst").write_bytes(b"garbage")
+    import shutil
+
+    shutil.rmtree(root / "raw" / "modelnet10_250k")
+    ds2 = ModelNet10Dataset(str(root))
+    assert len(ds2) == 2 and int(ds2[1].y) == 1
+
+
+def test_checksum_mismatch_warns_not_raises(tmp_path):
+    """Reference semantics: a bad checksum WARNS (datasets.py:743-755),
+    it does not raise."""
+    from flooder_tpu.datasets import ModelNet10Dataset
+
+    f = tmp_path / "payload.bin"
+    f.write_bytes(b"not the real archive")
+    with pytest.warns(UserWarning, match="checksum"):
+        ModelNet10Dataset.validate(
+            ModelNet10Dataset.__new__(ModelNet10Dataset), str(f)
+        )
