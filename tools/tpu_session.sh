@@ -67,7 +67,9 @@ phase3() {
   # decisive lever, then MXU/rate, then ordering/geometry) so a chip
   # re-wedge mid-sweep still leaves the big decisions made.
   for v in "" \
+           "FLOODER_PALLAS_PHASES=2 FLOODER_PALLAS_PHASEA=2" \
            "FLOODER_PALLAS_PHASES=2" \
+           "FLOODER_PALLAS_PHASES=2 FLOODER_PALLAS_PHASEA=2 FLOODER_PALLAS_MXU=1" \
            "FLOODER_PALLAS_PHASES=2 FLOODER_PALLAS_MXU=1" \
            "FLOODER_PALLAS_MXU=1" \
            "FLOODER_PALLAS_PHASES=2 FLOODER_PALLAS_PHASEA=3" \
