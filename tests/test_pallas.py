@@ -149,14 +149,19 @@ def test_select_pad_pair_reseed_safety():
     assert select_pad_pair(active) == (2, 0)
 
 
-def test_two_phase_structure(monkeypatch):
+@pytest.mark.parametrize("k_a_env", ["1", "2"])
+def test_two_phase_structure(monkeypatch, k_a_env):
     """Cost-model pin for the two-phase refresh (verdict r3 #6): phase A
     runs exactly the K nearest chunks of every live block, phase B never
     revisits a phase-A pair, and the refreshed bound actually DROPS pairs
-    (phase A + phase B < the static work-list) — not just value parity."""
+    (phase A + phase B < the static work-list) — not just value parity.
+    K=2 is the adaptive-floor model's preferred width
+    (tpu_runs/adaptive_floor_1m_ka2.json), so its structure is pinned
+    alongside the K=1 default."""
     from flooder_tpu.ops.pallas_flood import PallasFloodEngine
 
     monkeypatch.setenv("FLOODER_PALLAS_PHASES", "2")
+    monkeypatch.setenv("FLOODER_PALLAS_PHASEA", k_a_env)
     monkeypatch.setenv("FLOODER_PHASE_STATS", "1")
     captured = {}
 
@@ -202,11 +207,13 @@ def test_two_phase_structure(monkeypatch):
     assert len(got_a) + len(got_b) < len(static)
 
 
-def test_pallas_two_phase_refresh(monkeypatch):
+@pytest.mark.parametrize("k_a_env", ["1", "2"])
+def test_pallas_two_phase_refresh(monkeypatch, k_a_env):
     """FLOODER_PALLAS_PHASES=2 (run nearest chunks, refresh bounds, drop
     pairs the realized bound excludes) must be lossless: dropped pairs
     provably cannot lower any running min."""
     monkeypatch.setenv("FLOODER_PALLAS_PHASES", "2")
+    monkeypatch.setenv("FLOODER_PALLAS_PHASEA", k_a_env)
     X = generate_noisy_torus_points_3d(1500, seed=11)
     L = generate_landmarks(X, 120, start_idx=0)
     fc_2p = flood_complex(X, L, points_per_edge=10, use_pallas=True)
