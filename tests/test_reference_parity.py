@@ -156,3 +156,23 @@ def test_generators_distributional_parity():
     np.testing.assert_allclose(
         ring_dist(a3).std(), ring_dist(b3).std(), atol=0.02
     )
+
+
+def test_api_parity_tool_reports_ok():
+    """tools/api_parity.py must exit 0 (every reference surface present
+    and positionally aligned) whenever the reference tree is available —
+    an auto-ratchet against accidental API drift."""
+    import subprocess
+    import sys
+
+    res = subprocess.run(
+        [sys.executable, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools", "api_parity.py",
+        )],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+    assert "PARITY OK" in res.stderr
