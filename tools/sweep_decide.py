@@ -17,6 +17,11 @@ fixed in round 3's STATUS pickup list:
   hot engine must contain no unmeasured code paths).
 
 Usage: python tools/sweep_decide.py tpu_runs/sweep_r04.jsonl
+       python tools/sweep_decide.py --winner-env tpu_runs/sweep_r04.jsonl
+           # prints ONLY the winning combo's env string (empty for the
+           # shipped default) — phase4 sources this so the full bench and
+           # stress configs run under the best measured configuration
+           # without waiting for a human between phases
 """
 
 import json
@@ -31,6 +36,28 @@ def _head_sha() -> str:
         ["git", "rev-parse", "--short", "HEAD"],
         cwd=root, capture_output=True, text=True, check=True,
     ).stdout.strip()
+
+
+def winner_env(path: str) -> str:
+    """The winning combo's env string from a sweep file, "" if the
+    default won or nothing usable was measured at the current HEAD."""
+    try:
+        with open(path) as fh:
+            rows = [
+                json.loads(ln) for ln in fh if ln.strip()
+            ]
+    except (OSError, json.JSONDecodeError):
+        return ""
+    sha = _head_sha()
+    rows = [r for r in rows if r.get("sha", "") == sha and "value" in r]
+    if not rows:
+        return ""
+    best = {}
+    for r in rows:
+        env = r.get("env", "").strip()
+        if env not in best or r["value"] < best[env]["value"]:
+            best[env] = r
+    return min(best.values(), key=lambda r: r["value"]).get("env", "")
 
 
 def main(path: str) -> None:
@@ -134,4 +161,9 @@ def main(path: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "tpu_runs/sweep_r04.jsonl")
+    args = sys.argv[1:]
+    if args and args[0] == "--winner-env":
+        print(winner_env(args[1] if len(args) > 1
+                         else "tpu_runs/sweep_r04.jsonl"))
+        sys.exit(0)
+    main(args[0] if args else "tpu_runs/sweep_r04.jsonl")

@@ -112,8 +112,18 @@ PYEOF
 }
 
 phase4() {
+  # Run everything under the phase-3 winner's env (empty when the
+  # shipped default won or no sweep has been parsed at this HEAD), so
+  # the decisive numbers land without a human between phases. The
+  # winner's flags still get folded into the shipped defaults (and the
+  # losers deleted) afterwards — this just stops phase4 from measuring a
+  # configuration phase3 already beat.
+  WINNER=$(python tools/sweep_decide.py --winner-env tpu_runs/sweep_r04.jsonl 2>/dev/null || echo "")
+  echo "phase4 env: [${WINNER}]"
   echo "== full bench (3 reps) =="
-  timeout 1800 python bench.py
+  env $WINNER timeout 1800 python bench.py
+  echo "== stage split under the winner =="
+  env $WINNER FLOODER_BENCH_REPS=1 timeout 1200 python bench.py --stages || true
   echo "== profiler trace of the headline config (post-hoc analysis) =="
   timeout 900 python - <<'EOF' || true
 import numpy as np
@@ -121,20 +131,20 @@ from flooder_tpu import generate_swiss_cheese_points
 pts, _, _ = generate_swiss_cheese_points(1_000_000, k=6, seed=42)
 np.save("/tmp/cheese_1m.npy", np.asarray(pts, np.float32))
 EOF
-  timeout 1200 python -m flooder_tpu.cli --input-file /tmp/cheese_1m.npy \
+  env $WINNER timeout 1200 python -m flooder_tpu.cli --input-file /tmp/cheese_1m.npy \
     --num-landmarks 1000 --trace-dir tpu_runs/trace_r04 \
     --stats-json tpu_runs/cli_stats_r04.json || true
   echo "== 2M x 1k (BASELINE.json north-star config) =="
-  timeout 1500 python bench.py --points 2000000 --landmarks 1000 --reps 2
+  env $WINNER timeout 1500 python bench.py --points 2000000 --landmarks 1000 --reps 2
   echo "== 2M x 10k stress =="
-  timeout 2400 python bench.py --points 2000000 --landmarks 10000 --reps 1
+  env $WINNER timeout 2400 python bench.py --points 2000000 --landmarks 10000 --reps 1
   echo "== example_02 (1M torus, 2k landmarks, FPS/complex/PH split) =="
-  timeout 1800 python examples/example_02_torus_3d.py --reps 2 || true
+  env $WINNER timeout 1800 python examples/example_02_torus_3d.py --reps 2 || true
   echo "== example_01 (incl. 10M row; host-Alpha capped at 100k) =="
-  timeout 3600 python examples/example_01_cheese_3d.py --reps 1 \
+  env $WINNER timeout 3600 python examples/example_01_cheese_3d.py --reps 1 \
     --alpha-max-n 100000 || true
   echo "== example_03 (40M 2-D figure-eight) =="
-  timeout 3600 python examples/example_03_figure_eight_2d.py || true
+  env $WINNER timeout 3600 python examples/example_03_figure_eight_2d.py || true
 }
 
 "$1"
