@@ -224,3 +224,47 @@ def test_6d_cloud_random_mode():
     cards = {len(s) for s in fc}
     assert cards == set(range(1, 8))  # 0..6-simplices all present
     assert all(np.isfinite(v) for v in fc.values())
+
+
+def test_degenerate_geometry_end_to_end():
+    """Degenerate inputs the reference delegates to gudhi/CGAL's joggle:
+    near-coplanar 3-D clouds, duplicated points, and Pallas/dense parity
+    on the degenerate cloud (Qhull QJ handles the flat Delaunay)."""
+    rng = np.random.default_rng(1)
+    pts = rng.random((3000, 3)).astype(np.float32)
+    pts[:, 2] *= 1e-6  # near-coplanar
+    fc = flood_complex(pts, 40, points_per_edge=5, start_idx=0)
+    vals = np.array(list(fc.values()))
+    assert len(fc) > 100 and np.isfinite(vals).all()
+
+    fc_p = flood_complex(
+        pts, 40, points_per_edge=5, start_idx=0, use_pallas=True
+    )
+    for s, v in fc.items():
+        assert fc_p[s] == pytest.approx(v, abs=1e-5)
+
+    dup = rng.random((1000, 3)).astype(np.float32)
+    dup = np.concatenate([dup, dup[:500]])  # 50% duplicates
+    fc2 = flood_complex(dup, 30, points_per_edge=5, start_idx=0)
+    assert len(fc2) > 100
+
+
+def test_delaunay_degenerate_landmark_sets():
+    """Coplanar / collinear / duplicated landmark sets must triangulate
+    (the reference inherits this robustness from CGAL; ours from Qhull)."""
+    from flooder_tpu.topology import DelaunayComplex
+
+    rng = np.random.default_rng(0)
+    coplanar = np.zeros((50, 3))
+    coplanar[:, :2] = rng.random((50, 2))
+    st = DelaunayComplex(coplanar).create_simplex_tree()
+    assert sum(len(v) for v in st._verts) > 100
+
+    collinear = np.zeros((20, 3))
+    collinear[:, 0] = np.linspace(0, 1, 20)
+    DelaunayComplex(collinear).create_simplex_tree()
+
+    dupes = rng.random((30, 3))
+    dupes[10] = dupes[0]
+    dupes[20] = dupes[0]
+    DelaunayComplex(dupes).create_simplex_tree()
