@@ -26,11 +26,14 @@ def build_scene(
     cloud: str = "cheese3d",
     seed: int = 42,
     interpret: bool | None = True,
+    wchunk: int | None = None,
 ) -> SimpleNamespace:
     """Build the full pricing scene for one configuration.
 
     interpret: passed to PallasFloodEngine (True for CPU-side pricing;
     None lets the engine auto-select for on-hardware use).
+    wchunk: witness-chunk size override (default: the engine's shipped
+    constant) — lets the volume model price the frozen choice.
 
     Returns a namespace with the ordered simplex data, the production
     tile prep outputs (samples/tile boxes/static bounds/work-list), and
@@ -63,11 +66,21 @@ def build_scene(
     dim = pts.shape[1]
     lms = generate_landmarks(pts, landmarks, start_idx=0)
 
-    engine = (
-        pf.PallasFloodEngine(pts, pf.WCHUNK)
-        if interpret is None
-        else pf.PallasFloodEngine(pts, pf.WCHUNK, interpret=interpret)
-    )
+    # The engine freezes its chunk size to the module constant (the knob
+    # was deliberately deleted); price alternatives by patching the
+    # constant around construction — everything downstream reads
+    # engine.wchunk, so the scene stays self-consistent.
+    saved_wc = pf.WCHUNK
+    if wchunk is not None:
+        pf.WCHUNK = wchunk
+    try:
+        engine = (
+            pf.PallasFloodEngine(pts, pf.WCHUNK)
+            if interpret is None
+            else pf.PallasFloodEngine(pts, pf.WCHUNK, interpret=interpret)
+        )
+    finally:
+        pf.WCHUNK = saved_wc
     stree = DelaunayComplex(np.asarray(lms, np.float64)).create_simplex_tree()
     top = stree._verts[dim] if len(stree._verts) > dim else stree._verts[-1]
     sim_verts = lms[jnp.asarray(top)]

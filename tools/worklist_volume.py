@@ -50,6 +50,11 @@ def main():
     )
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument(
+        "--wchunk", type=int, default=None,
+        help="witness-chunk size override (default: the shipped 2048) — "
+        "prices the frozen constant without reopening the engine knob",
+    )
+    ap.add_argument(
         "--cloud",
         choices=["cheese3d", "eight2d"],
         default="cheese3d",
@@ -76,7 +81,8 @@ def main():
 
     t0 = time.time()
     sc = build_scene(
-        args.points, args.landmarks, cloud=args.cloud, seed=args.seed
+        args.points, args.landmarks, cloud=args.cloud, seed=args.seed,
+        wchunk=args.wchunk,
     )
     print(f"cloud+fps+prep {time.time()-t0:.1f}s", file=sys.stderr)
 
@@ -128,6 +134,7 @@ def main():
         "dim": sc.dim,
         "points": args.points,
         "landmarks": args.landmarks,
+        "wchunk": int(sc.engine.wchunk),
         "n_chunks": int(sc.n_chunks),
         "work_list_pairs": int(npairs),
         "pair_fraction": round(npairs / (sc.active.size), 4),
