@@ -565,6 +565,14 @@ class LargePointCloudDataset(FlooderDataset):
         if not os.path.isdir(extract_path):
             self.unzip_file()
 
+    # NOTE: deliberately NOT overridden to [] — ``all([])`` is True, so an
+    # empty list would make ``_process`` skip unconditionally and the
+    # archive would never be extracted (``get`` would then fail on
+    # meta.yaml). Inheriting the sentinel names means ``_process`` always
+    # runs and ``process``'s isdir guard makes it a no-op once extracted —
+    # the reference's exact semantics (ref datasets.py:1341-1354, which
+    # also inherits FlooderDataset's processed_file_names).
+
     @property
     def file_id(self) -> str:
         return "1WmX_JN1c-l1U27k1kOWf3z5cUPF8GR6x"
@@ -584,10 +592,6 @@ class LargePointCloudDataset(FlooderDataset):
     @property
     def uncompressed_file_names(self) -> List[str]:
         return ["virus.pt", "coral.pt"]
-
-    @property
-    def processed_file_names(self) -> List[str]:
-        return []
 
     def len(self) -> int:
         return 2

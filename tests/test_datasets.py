@@ -214,3 +214,110 @@ def test_checksum_mismatch_warns_not_raises(tmp_path):
         ModelNet10Dataset.validate(
             ModelNet10Dataset.__new__(ModelNet10Dataset), str(f)
         )
+
+
+def _write_zst_archive(path, folder, entries):
+    """entries: {name: payload bytes} written under folder/ in a .tar.zst."""
+    zstd = pytest.importorskip("zstandard")
+    import io
+    import tarfile
+
+    tar_buf = io.BytesIO()
+    with tarfile.open(fileobj=tar_buf, mode="w") as tar:
+        for name, payload in entries.items():
+            info = tarfile.TarInfo(f"{folder}/{name}")
+            info.size = len(payload)
+            tar.addfile(info, io.BytesIO(payload))
+    with open(path, "wb") as f:
+        f.write(zstd.ZstdCompressor().compress(tar_buf.getvalue()))
+
+
+def test_rocks_pipeline_offline(tmp_path):
+    """RocksDataset's unpackbits → jittered voxel-coordinate processing
+    and regression targets (reference datasets.py:1265-1314), offline."""
+    import io
+
+    import yaml
+
+    from flooder_tpu.datasets import RocksDataset
+
+    vol = np.zeros((256, 256, 256), dtype=bool)
+    occupied = [(0, 0, 0), (10, 20, 30), (255, 255, 255), (100, 3, 7)]
+    for v in occupied:
+        vol[v] = True
+    buf = io.BytesIO()
+    np.save(buf, np.packbits(vol))
+    meta = {
+        "data": {
+            "rock_000.npy": {"label": 1, "target": 2.5, "volume": 0.125}
+        }
+    }
+    splits = {"splits": {"0": {"trn": [0]}}}
+    root = tmp_path / "rocks"
+    (root / "raw").mkdir(parents=True)
+    _write_zst_archive(
+        root / "raw" / "rocks.tar.zst",
+        "rocks",
+        {
+            "meta.yaml": yaml.safe_dump(meta).encode(),
+            "splits.yaml": yaml.safe_dump(splits).encode(),
+            "rock_000.npy": buf.getvalue(),
+        },
+    )
+    ds = RocksDataset(str(root))
+    assert len(ds) == 1
+    item = ds[0]
+    assert item.x.shape == (len(occupied), 3)
+    assert item.x.dtype == np.float32
+    # voxel coordinate + jitter in [0, 0.1): floor recovers the voxel
+    np.testing.assert_array_equal(
+        np.floor(item.x).astype(int), sorted(occupied)
+    )
+    assert ((item.x - np.floor(item.x)) < 0.1).all()
+    assert int(item.y) == 1
+    assert item.surface == pytest.approx(2.5)
+    assert item.volume == pytest.approx(0.125)
+
+
+def test_large_point_cloud_lazy_get_offline(tmp_path):
+    """LargePointCloudDataset: _process must actually EXTRACT (its
+    process() only unpacks; nothing creates the _done sentinel, so
+    _process runs every time and the isdir guard makes it a no-op once
+    extracted — reference datasets.py:1341-1354). A previous
+    processed_file_names=[] override made all([]) skip extraction
+    entirely, breaking the manual-download path this test drives."""
+    torch = pytest.importorskip("torch")
+    import io
+
+    import yaml
+
+    from flooder_tpu.datasets import LargePointCloudDataset
+
+    rng = np.random.default_rng(0)
+    clouds = [rng.random((30, 3)).astype(np.float32),
+              rng.random((20, 3)).astype(np.float32)]
+    meta = {
+        "data": [
+            {"name": "virus", "description": "EMD-50844"},
+            {"name": "coral", "description": "USNM 53156"},
+        ]
+    }
+    payloads = {}
+    for fname, arr in zip(["virus.pt", "coral.pt"], clouds):
+        b = io.BytesIO()
+        torch.save(torch.from_numpy(arr), b)
+        payloads[fname] = b.getvalue()
+    payloads["meta.yaml"] = yaml.safe_dump(meta).encode()
+    root = tmp_path / "large"
+    (root / "raw").mkdir(parents=True)
+    _write_zst_archive(root / "raw" / "large.tar.zst", "large", payloads)
+
+    ds = LargePointCloudDataset(str(root))
+    assert len(ds) == 2
+    item = ds[0]
+    np.testing.assert_array_equal(item.x, clouds[0])
+    assert item.name == "virus" and "50844" in item.description
+    assert ds[1].name == "coral"
+    # lazy: nothing cached between gets, reinstantiation stays cheap
+    ds2 = LargePointCloudDataset(str(root))
+    np.testing.assert_array_equal(ds2[1].x, clouds[1])
