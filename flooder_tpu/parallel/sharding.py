@@ -32,6 +32,42 @@ SIMPLEX_AXIS = "simplex"
 WITNESS_AXIS = "witness"
 
 
+def balance_chunk_assignment(loads: np.ndarray, n_bins: int) -> np.ndarray:
+    """Capacity-constrained LPT assignment of witness chunks to shards.
+
+    SPMD runs every witness shard for the busiest shard's segment count,
+    so shard loads should be equal — but contiguous Hilbert-range slices
+    are not (dense regions cluster, and the bucketing pad chunks all land
+    in the last shard: measured max/mean up to 1.45 at 100k/300, capping
+    8-way witness sharding at ~5.5x). Chunk identity is arbitrary — the
+    kernel min-reduces each chunk independently — so chunks can be
+    permuted freely before slicing.
+
+    Greedy longest-processing-time with equal bin capacity: sort chunks
+    by load descending, place each in the lightest shard with space.
+
+    Args:
+        loads: (n_chunks,) per-chunk load (active-pair count).
+        n_bins: number of witness shards; must divide n_chunks.
+
+    Returns:
+        (n_chunks,) permutation ``perm`` such that new position j holds
+        old chunk ``perm[j]`` and positions [i*cap, (i+1)*cap) form
+        shard i's chunks.
+    """
+    n_chunks = len(loads)
+    assert n_chunks % n_bins == 0
+    cap = n_chunks // n_bins
+    bins = [[] for _ in range(n_bins)]
+    bin_load = np.zeros(n_bins)
+    for c in np.argsort(-np.asarray(loads), kind="stable"):
+        open_bins = [b for b in range(n_bins) if len(bins[b]) < cap]
+        b = min(open_bins, key=lambda i: (bin_load[i], i))
+        bins[b].append(int(c))
+        bin_load[b] += loads[c]
+    return np.asarray([c for b in bins for c in b], dtype=np.int64)
+
+
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     simplex_parallel: Optional[int] = None,
@@ -278,6 +314,30 @@ class MeshPallasFloodEngine:
         )
         active, pairdist = jax.device_get((active_dev, pairdist_dev))
 
+        # Balance witness-chunk load across the witness shards before
+        # slicing (see balance_chunk_assignment): permute the active/
+        # pairdist columns, the chunk boxes, and the witness storage with
+        # one consistent chunk permutation. Identity when n_ws == 1 or
+        # already balanced.
+        witnesses = self.witnesses
+        if n_ws > 1:
+            chunk_perm = balance_chunk_assignment(active.sum(axis=0), n_ws)
+            if not np.array_equal(chunk_perm, np.arange(len(chunk_perm))):
+                active = active[:, chunk_perm]
+                pairdist = pairdist[:, chunk_perm]
+                n_chunks_g = len(chunk_perm)
+                witnesses = jax.device_put(
+                    jnp.reshape(
+                        jnp.reshape(
+                            self.witnesses, (dim, n_chunks_g, self.wchunk)
+                        )[:, jnp.asarray(chunk_perm)],
+                        (dim, n_chunks_g * self.wchunk),
+                    ),
+                    jax.sharding.NamedSharding(mesh, P(None, WITNESS_AXIS)),
+                )
+                # chunk boxes only feed _prep's admission matrix, which is
+                # already computed — no need to permute self.chunk_lo/hi
+
         # per-(simplex shard, witness shard) work-lists in LOCAL indices,
         # nearest-first within each block (single-chip admission logic on
         # the shard's slice of the global active matrix)
@@ -413,7 +473,7 @@ class MeshPallasFloodEngine:
                 sl = slice(g * seg_len, (g + 1) * seg_len)
                 acc = seg_fn(
                     seg_s_d[:, :, sl], seg_c_d[:, :, sl], seg_f_d[:, :, sl],
-                    samples_d, self.witnesses, centers_d, radii_d,
+                    samples_d, witnesses, centers_d, radii_d,
                     tile_lo_d, tile_hi_d, ub2_d, acc,
                 )
             # combine the per-witness-shard partial minima over ICI

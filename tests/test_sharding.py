@@ -102,3 +102,27 @@ def test_pallas_mesh_engine_rand_mode():
             assert np.isinf(got)
         else:
             assert got == pytest.approx(val, abs=2e-6)
+
+
+def test_balance_chunk_assignment():
+    """Capacity-constrained LPT: equal-size bins, near-equal loads, and a
+    true permutation; degenerate all-zero loads stay identity-like."""
+    from flooder_tpu.parallel.sharding import balance_chunk_assignment
+
+    rng = np.random.default_rng(0)
+    loads = rng.integers(0, 1000, size=64)
+    loads[-8:] = 0  # padding chunks
+    for n_bins in (2, 4, 8):
+        perm = balance_chunk_assignment(loads, n_bins)
+        assert sorted(perm.tolist()) == list(range(64))
+        cap = 64 // n_bins
+        bin_loads = [
+            loads[perm[i * cap:(i + 1) * cap]].sum() for i in range(n_bins)
+        ]
+        # contiguous slicing on this input is far worse than LPT's spread
+        naive = [loads[i * cap:(i + 1) * cap].sum() for i in range(n_bins)]
+        assert max(bin_loads) <= max(naive)
+        assert max(bin_loads) - min(bin_loads) <= max(loads)
+
+    z = balance_chunk_assignment(np.zeros(16), 4)
+    assert sorted(z.tolist()) == list(range(16))
