@@ -65,7 +65,7 @@ def balance_chunk_assignment(loads: np.ndarray, n_bins: int) -> np.ndarray:
         b = min(open_bins, key=lambda i: (bin_load[i], i))
         bins[b].append(int(c))
         bin_load[b] += loads[c]
-    return np.asarray([c for b in bins for c in b], dtype=np.int64)
+    return np.asarray([c for b in bins for c in b], dtype=np.int32)
 
 
 def make_mesh(
@@ -338,6 +338,31 @@ class MeshPallasFloodEngine:
                 # chunk boxes only feed _prep's admission matrix, which is
                 # already computed — no need to permute self.chunk_lo/hi
 
+        # Balance simplex-BLOCK load across the simplex shards the same
+        # way (block identity is as arbitrary as chunk identity): permute
+        # the admission rows and every per-simplex kernel operand by
+        # block, and inverse-permute the accumulator rows at the end.
+        # Contiguous Hilbert-block ranges measure max/mean 1.34 at 8
+        # shards (100k/300); LPT brings it to 1.04.
+        inv_rows = None
+        if n_ss > 1:
+            block_perm = balance_chunk_assignment(active.sum(axis=1), n_ss)
+            if not np.array_equal(block_perm, np.arange(len(block_perm))):
+                active = active[block_perm]
+                pairdist = pairdist[block_perm]
+                row_perm = (
+                    block_perm[:, None].astype(np.int32) * BS
+                    + np.arange(BS, dtype=np.int32)[None, :]
+                ).reshape(-1)
+                rp = jnp.asarray(row_perm)
+                samples = samples[rp]
+                tile_lo = tile_lo[rp]
+                tile_hi = tile_hi[rp]
+                ub2 = ub2[rp]
+                centers = centers[rp]
+                radii = radii[rp]
+                inv_rows = jnp.asarray(np.argsort(row_perm).astype(np.int32))
+
         # per-(simplex shard, witness shard) work-lists in LOCAL indices,
         # nearest-first within each block (single-chip admission logic on
         # the shard's slice of the global active matrix)
@@ -478,6 +503,10 @@ class MeshPallasFloodEngine:
                 )
             # combine the per-witness-shard partial minima over ICI
             out = combine(acc)
+            if inv_rows is not None:
+                # undo the block load-balancing permutation so callers see
+                # simplices in their original (Hilbert) order
+                out = out[inv_rows]
 
         return out, sperm, num_simplices, s_total, r2_total
 
