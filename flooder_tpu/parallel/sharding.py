@@ -319,8 +319,17 @@ class MeshPallasFloodEngine:
         # pairdist columns, the chunk boxes, and the witness storage with
         # one consistent chunk permutation. Identity when n_ws == 1 or
         # already balanced.
+        # The permutation gathers are resolved by GSPMD as an all-gather
+        # of the sharded operand (arbitrary cross-shard indices), so each
+        # device transiently holds a full copy. That is fine at every
+        # scale this machine tests, but witness sharding exists precisely
+        # for clouds bigger than one chip's HBM — guard the optimization
+        # by operand size and fall back to the contiguous (unbalanced)
+        # assignment beyond it rather than OOM.
+        gather_limit = 2 * 1024**3  # bytes of transient full copy
         witnesses = self.witnesses
-        if n_ws > 1:
+        wit_bytes = int(np.prod(self.witnesses.shape)) * 4
+        if n_ws > 1 and wit_bytes <= gather_limit:
             chunk_perm = balance_chunk_assignment(active.sum(axis=0), n_ws)
             if not np.array_equal(chunk_perm, np.arange(len(chunk_perm))):
                 active = active[:, chunk_perm]
@@ -345,7 +354,8 @@ class MeshPallasFloodEngine:
         # Contiguous Hilbert-block ranges measure max/mean 1.34 at 8
         # shards (100k/300); LPT brings it to 1.04.
         inv_rows = None
-        if n_ss > 1:
+        samples_bytes = int(np.prod(samples.shape)) * 4
+        if n_ss > 1 and samples_bytes <= gather_limit:
             block_perm = balance_chunk_assignment(active.sum(axis=1), n_ss)
             if not np.array_equal(block_perm, np.arange(len(block_perm))):
                 active = active[block_perm]

@@ -68,8 +68,11 @@ def build_scene(
 
     # The engine freezes its chunk size to the module constant (the knob
     # was deliberately deleted); price alternatives by patching the
-    # constant around construction — everything downstream reads
-    # engine.wchunk, so the scene stays self-consistent.
+    # constant around construction. The HOST-side counting in this module
+    # reads engine.wchunk consistently — but the engine's own kernel
+    # launch path reads the module constant again (nsub = WCHUNK // SUB),
+    # which is restored below, so RUNNING an overridden engine would
+    # silently mis-tile. Poison its run methods to make that loud.
     saved_wc = pf.WCHUNK
     if wchunk is not None:
         pf.WCHUNK = wchunk
@@ -81,6 +84,16 @@ def build_scene(
         )
     finally:
         pf.WCHUNK = saved_wc
+    if wchunk is not None and wchunk != saved_wc:
+        def _no_run(*a, **k):
+            raise RuntimeError(
+                "scene built with a wchunk override is host-side counting "
+                "only: the kernel launch reads the module WCHUNK constant "
+                "and would mis-tile this engine's witness layout"
+            )
+
+        engine.min_distances = _no_run
+        engine.min_distances_facemax = _no_run
     stree = DelaunayComplex(np.asarray(lms, np.float64)).create_simplex_tree()
     top = stree._verts[dim] if len(stree._verts) > dim else stree._verts[-1]
     sim_verts = lms[jnp.asarray(top)]

@@ -38,18 +38,35 @@ def _head_sha() -> str:
     ).stdout.strip()
 
 
+def _read_rows(path: str):
+    """Per-line lenient sweep parsing shared by main() and winner_env():
+    a single malformed/truncated line (appends across reruns make that
+    likely) must not poison the rest — and a row whose value is not a
+    number must not crash a comparison later."""
+    rows = []
+    try:
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    r = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if isinstance(r, dict) and isinstance(
+                    r.get("value"), (int, float)
+                ):
+                    rows.append(r)
+    except OSError:
+        pass
+    return rows
+
+
 def winner_env(path: str) -> str:
     """The winning combo's env string from a sweep file, "" if the
     default won or nothing usable was measured at the current HEAD."""
-    try:
-        with open(path) as fh:
-            rows = [
-                json.loads(ln) for ln in fh if ln.strip()
-            ]
-    except (OSError, json.JSONDecodeError):
-        return ""
-    sha = _head_sha()
-    rows = [r for r in rows if r.get("sha", "") == sha and "value" in r]
+    rows = [r for r in _read_rows(path) if r.get("sha", "") == _head_sha()]
     if not rows:
         return ""
     best = {}
@@ -61,16 +78,7 @@ def winner_env(path: str) -> str:
 
 
 def main(path: str) -> None:
-    rows = []
-    with open(path) as fh:
-        for line in fh:
-            line = line.strip()
-            if not line:
-                continue
-            try:
-                rows.append(json.loads(line))
-            except json.JSONDecodeError:
-                continue
+    rows = _read_rows(path)
     if not rows:
         print("no sweep rows parsed", file=sys.stderr)
         sys.exit(1)
