@@ -105,9 +105,12 @@ def test_decision_rules(tmp_path, capsys):
     main(p)
     out = capsys.readouterr()
     assert "FLOODER_WITNESS_ORDER=kd     +0.1000 s  -> ADOPT" in out.out
-    # MXU's margin is against best-without (the kd row), so it must lose
+    # MXU's margin is against best-without (the kd row), so it must lose;
+    # match the margin line specifically (the ranking table also contains
+    # the flag string)
     mxu_line = next(
-        ln for ln in out.out.splitlines() if "FLOODER_PALLAS_MXU=1" in ln
+        ln for ln in out.out.splitlines()
+        if "FLOODER_PALLAS_MXU=1" in ln and "->" in ln
     )
     assert mxu_line.rstrip().endswith("DELETE")
     assert "discarded 1 sweep row" in out.err
