@@ -66,27 +66,38 @@ def _x32_mode():
 def _fps_kernel(
     start_ref,  # SMEM (1,) int32: start index (in sorted order)
     pts_ref,  # HBM (d, N) points, N = nchunks * CHUNK
-    box_lo_ref,  # VMEM (nchunks, d) chunk bounding-box lower corners
-    box_hi_ref,  # VMEM (nchunks, d) chunk bounding-box upper corners
-    _mind2_in_ref,  # HBM (nchunks, CHUNK) running min d² (aliased to out)
-    out_ref,  # VMEM (L, 1) int32 selected indices
-    mind2_ref,  # HBM (nchunks, CHUNK) running min d² (the alias target)
-    cmax_ref,  # VMEM scratch (nchunks, 1) per-chunk max of mind2
-    cbest_ref,  # VMEM scratch (nchunks, 1) int32 per-chunk argmax index
-    adm_ref,  # VMEM scratch (nchunks, 1) int32 admission bits
-    row_ref,  # VMEM scratch (1, CHUNK) staging for one mind2 row
+    box_lo_ref,  # VMEM (d, nchunks) chunk bounding-box lower corners
+    box_hi_ref,  # VMEM (d, nchunks) chunk bounding-box upper corners
+    _mind2_in_ref,  # HBM (1, N) running min d² (aliased to out)
+    out_ref,  # VMEM (1, L) int32 selected indices
+    mind2_ref,  # HBM (1, N) running min d² (the alias target)
+    cmax_ref,  # VMEM scratch (1, nchunks) per-chunk max of mind2
+    cbest_ref,  # VMEM scratch (1, nchunks) int32 per-chunk argmax index
+    adm_ref,  # VMEM scratch (1, nchunks) int32 admission bits
+    adm_smem_ref,  # SMEM scratch (1, nchunks) int32 admission bits
+    row_ref,  # VMEM scratch (1, CHUNK) staging for one mind2 slice
     lm_ref,  # VMEM scratch (dim_pad, 1) current landmark coordinates
     lmwin_ref,  # VMEM scratch (dim_pad, 128) aligned landmark window
     buf_ref,  # VMEM scratch (dim_pad, CHUNK) point-chunk buffer
     sem,  # DMA semaphore for point fetches
-    row_sem,  # DMA semaphore for mind2 row traffic
+    row_sem,  # DMA semaphore for mind2 slice traffic
     lm_sem,  # DMA semaphore for landmark fetch
+    adm_sem,  # DMA semaphore for the admission-bit VMEM→SMEM copy
     *,
     n_samples: int,
     chunk: int,
     dim: int,
 ):
-    nchunks = cmax_ref.shape[0]
+    # Every dynamically-indexed array in this kernel is laid out
+    # lane-major ((1, n) / (d, n)), never (n, 1)/(n, chunk): Mosaic
+    # rejects slices of extent 1 along a tiled sublane dimension
+    # ("Slice shape along dimension 0 must be aligned to tiling (8)"),
+    # a backend rule the off-hardware lowering gate cannot see — it
+    # failed on the real chip on 2026-08-18. Scalar writes at a dynamic
+    # chunk index become masked lane-selects; the per-chunk admission
+    # bit is DMA'd to SMEM once per sweep so the chunk loop branches on
+    # a plain scalar read.
+    nchunks = cmax_ref.shape[1]
 
     def fetch_landmark(idx):
         """Fetch the landmark column via a lane-aligned 128-wide window
@@ -115,7 +126,8 @@ def _fps_kernel(
 
     # ---- select the start landmark and initialize state ----
     start = start_ref[0]
-    out_ref[pl.ds(0, 1), :] = start.reshape(1, 1)
+    out_lanes = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+    out_ref[:] = jnp.where(out_lanes == 0, start, jnp.int32(0))
     fetch_landmark(start)
     cmax_ref[:] = jnp.full(cmax_ref.shape, jnp.inf, dtype=jnp.float32)
     cbest_ref[:] = jnp.zeros(cbest_ref.shape, dtype=jnp.int32)
@@ -124,38 +136,41 @@ def _fps_kernel(
         """One greedy step: fold the current landmark into the running
         min-distances of every chunk it can lower, refresh those chunks'
         running max/argmax, then pick the global argmax."""
-        lm_t = jnp.transpose(lm_ref[:])  # (1, dim_pad)
+        lm = lm_ref[:]  # (dim_pad, 1)
         gap = jnp.maximum(
-            jnp.maximum(box_lo_ref[:] - lm_t, lm_t - box_hi_ref[:]), 0.0
-        )  # (nchunks, dim_pad)
-        lb2 = jnp.sum(gap * gap, axis=1, keepdims=True)  # (nchunks, 1)
+            jnp.maximum(box_lo_ref[:] - lm, lm - box_hi_ref[:]),
+            jnp.float32(0.0),
+        )  # (dim_pad, nchunks)
+        lb2 = jnp.sum(gap * gap, axis=0, keepdims=True)  # (1, nchunks)
         # strict <: when the bound equals the chunk max, no member can
         # drop below its current min-distance
         adm_ref[:] = (lb2 < cmax_ref[:]).astype(jnp.int32)
+        ac = pltpu.make_async_copy(adm_ref, adm_smem_ref, adm_sem)
+        ac.start()
+        ac.wait()
+        clanes = jax.lax.broadcasted_iota(jnp.int32, cmax_ref.shape, 1)
 
         def chunk_body(c, _c):
-            ok = adm_ref[pl.ds(c, 1), :]  # (1, 1)
-
-            @pl.when(ok[0, 0] == 1)
+            @pl.when(adm_smem_ref[0, c] == 1)
             def _update(c=c):
+                col = pl.multiple_of(c * chunk, chunk)
                 cp = pltpu.make_async_copy(
-                    pts_ref.at[:, pl.ds(c * chunk, chunk)], buf_ref, sem
+                    pts_ref.at[:, pl.ds(col, chunk)], buf_ref, sem
                 )
                 cp.start()
                 rp = pltpu.make_async_copy(
-                    mind2_ref.at[pl.ds(c, 1), :], row_ref, row_sem
+                    mind2_ref.at[:, pl.ds(col, chunk)], row_ref, row_sem
                 )
                 rp.start()
                 cp.wait()
                 rp.wait()
                 tile = buf_ref[:]  # (d, CHUNK)
-                lm = lm_ref[:]  # (d, 1)
-                diff = tile - lm
+                diff = tile - lm_ref[:]
                 d2 = jnp.sum(diff * diff, axis=0, keepdims=True)
                 new = jnp.minimum(row_ref[:], d2)  # (1, CHUNK)
                 row_ref[:] = new
                 wb = pltpu.make_async_copy(
-                    row_ref, mind2_ref.at[pl.ds(c, 1), :], row_sem
+                    row_ref, mind2_ref.at[:, pl.ds(col, chunk)], row_sem
                 )
                 wb.start()
                 cmax = jnp.max(new)
@@ -163,9 +178,10 @@ def _fps_kernel(
                 clane = jnp.min(
                     jnp.where(new == cmax, iota, jnp.int32(2**30))
                 )
-                cmax_ref[pl.ds(c, 1), :] = cmax.reshape(1, 1)
-                cbest_ref[pl.ds(c, 1), :] = (c * chunk + clane).reshape(
-                    1, 1
+                sel = clanes == c
+                cmax_ref[:] = jnp.where(sel, cmax, cmax_ref[:])
+                cbest_ref[:] = jnp.where(
+                    sel, c * chunk + clane, cbest_ref[:]
                 )
                 wb.wait()
 
@@ -178,12 +194,16 @@ def _fps_kernel(
 
         # global argmax over the per-chunk maxima
         gm = jnp.max(cmax_ref[:])
-        citer = jax.lax.broadcasted_iota(jnp.int32, cmax_ref.shape, 0)
         cstar = jnp.min(
-            jnp.where(cmax_ref[:] == gm, citer, jnp.int32(2**30))
+            jnp.where(cmax_ref[:] == gm, clanes, jnp.int32(2**30))
         )
-        best_idx = cbest_ref[pl.ds(cstar, 1), :][0, 0]
-        out_ref[pl.ds(l, 1), :] = best_idx.reshape(1, 1)
+        # max, not sum: jnp.sum widens integer accumulators to 64-bit
+        # under x64 and Mosaic rejects 64-bit types (indices are >= 0,
+        # so masking the other lanes to 0 keeps the max exact)
+        best_idx = jnp.max(
+            jnp.where(clanes == cstar, cbest_ref[:], jnp.int32(0))
+        )
+        out_ref[:] = jnp.where(out_lanes == l, best_idx, out_ref[:])
         fetch_landmark(best_idx)
         return jnp.int32(0)
 
@@ -202,7 +222,7 @@ def _fps_call(
 ):
     dim, n_total = pts_t.shape
     nchunks = n_total // chunk
-    mind2 = jnp.full((nchunks, chunk), jnp.inf, dtype=jnp.float32)
+    mind2 = jnp.full((1, n_total), jnp.inf, dtype=jnp.float32)
     kernel = functools.partial(
         _fps_kernel, n_samples=n_samples, chunk=chunk, dim=dim
     )
@@ -222,9 +242,10 @@ def _fps_call(
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             scratch_shapes=[
-                pltpu.VMEM((nchunks, 1), jnp.float32),
-                pltpu.VMEM((nchunks, 1), jnp.int32),
-                pltpu.VMEM((nchunks, 1), jnp.int32),
+                pltpu.VMEM((1, nchunks), jnp.float32),
+                pltpu.VMEM((1, nchunks), jnp.int32),
+                pltpu.VMEM((1, nchunks), jnp.int32),
+                pltpu.SMEM((1, nchunks), jnp.int32),
                 pltpu.VMEM((1, chunk), jnp.float32),
                 pltpu.VMEM((dim, 1), jnp.float32),
                 pltpu.VMEM((dim, 128), jnp.float32),
@@ -232,11 +253,12 @@ def _fps_call(
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((n_samples, 1), jnp.int32),
-            jax.ShapeDtypeStruct((nchunks, chunk), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_samples), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_total), jnp.float32),
         ],
         # the running min-distance array is read-modify-written in place
         input_output_aliases={4: 1},
@@ -249,7 +271,7 @@ def _fps_call(
         ),
         interpret=interpret,
     )(start_idx.reshape(1), pts_t, box_lo, box_hi, mind2)
-    return out[:, 0]
+    return out[0]
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "dim_pad"))
@@ -257,7 +279,7 @@ def _fps_prepare(points, start, *, chunk: int, dim_pad: int):
     """Hilbert-sort the cloud and lay it out for the kernel.
 
     Returns (pts_t (dim_pad, N_pad) sorted+transposed, box_lo/box_hi
-    (nchunks, dim_pad) chunk bounding boxes, sorted_start scalar, order
+    (dim_pad, nchunks) chunk bounding boxes, sorted_start scalar, order
     (N,) permutation so ``original_index = order[sorted_index]``).
     """
     from .pallas_flood import hilbert_codes, morton_codes
@@ -289,8 +311,8 @@ def _fps_prepare(points, start, *, chunk: int, dim_pad: int):
         pts_t = jnp.concatenate([pts_t, pad], axis=1)
     nchunks = n_pad // chunk
     boxes = pts_t.reshape(dim_pad, nchunks, chunk)
-    box_lo = jnp.transpose(jnp.min(boxes, axis=2))  # (nchunks, dim_pad)
-    box_hi = jnp.transpose(jnp.max(boxes, axis=2))
+    box_lo = jnp.min(boxes, axis=2)  # (dim_pad, nchunks)
+    box_hi = jnp.max(boxes, axis=2)
     return pts_t, box_lo, box_hi, sorted_start, order
 
 

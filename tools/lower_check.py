@@ -48,8 +48,8 @@ def lower_fps(dim, chunk, nchunks, n_samples):
 
     traced = _fps_call.trace(
         jnp.zeros((dim, chunk * nchunks), jnp.float32),
-        jnp.zeros((nchunks, dim), jnp.float32),
-        jnp.ones((nchunks, dim), jnp.float32),
+        jnp.zeros((dim, nchunks), jnp.float32),
+        jnp.ones((dim, nchunks), jnp.float32),
         jnp.zeros((), jnp.int32),
         n_samples=n_samples, chunk=chunk, interpret=False,
     )
