@@ -45,30 +45,19 @@ from jax.experimental.pallas import tpu as pltpu
 import os as _os
 
 # Fixed block geometry (the analogue of the reference's one tuned
-# Triton geometry, ref core.py:26-29). BS (simplex rows per block) and
-# WCHUNK (witnesses per HBM chunk) are set by VMEM budget and VPU lane
-# shape and are deliberately NOT runtime-tunable: they were never part
-# of the hardware sweep, and unmeasured configuration space is a
-# liability (round-3 verdict). RT/SUB remain env-overridable only for
-# the phase-3 hardware sweep (tools/tpu_session.sh) and are collapsed
-# to the winning values once measured.
+# Triton geometry, ref core.py:26-29), frozen after the 2026-08-18
+# hardware sweep (tpu_runs/sweep_r04.jsonl, 20 combos on a v5e chip;
+# decision rules in tools/sweep_decide.py): the shipped geometry won
+# every comparison — RT=256 cost +0.36 s, SUB=256 +0.21 s, the MXU
+# dot-product formulation +2.1 s (bf16-pass-dominated and breaches the
+# oracle tolerance at f32-HIGHEST anyway), the two-phase bound refresh
+# +0.24 s, and kd witness ordering beat Hilbert by only +0.04 s —
+# under its 0.1 s adoption threshold. Every losing code path is
+# deleted; the hot engine has exactly one configuration.
 BS = 8
-RT = int(_os.environ.get("FLOODER_PALLAS_RT", 512))
+RT = 512
 WCHUNK = 2048
-SUB = int(_os.environ.get("FLOODER_PALLAS_SUB", 512))
-# Experimental: compute tile distances as |y|² − 2 y·x + |x|² with the
-# cross term on the MXU instead of the per-coordinate VPU loop. Cuts the
-# VPU work per (witness, sample) pair from ~2·dim ops to ~3, at the cost
-# of the dot-product form's cancellation error (~1e-5 relative at flood
-# geometry — ball-local coordinates bound |x|,|y| by ~2r). Off by default
-# until the hardware sweep shows a win at acceptable accuracy.
-MXU = _os.environ.get("FLOODER_PALLAS_MXU", "0") == "1"
-
-
-def _mxu_enabled() -> bool:
-    """Call-time env resolution so tests/sweeps can flip the MXU path
-    without re-importing the module."""
-    return _os.environ.get("FLOODER_PALLAS_MXU", "0") == "1"
+SUB = 512
 MORTON_BITS_TOTAL = 24
 # Work-list pairs per kernel launch: 3 int32 scalar-prefetch arrays of this
 # length must fit the chip's 1MB SMEM alongside control state.
@@ -156,41 +145,6 @@ def _hilbert_from_quantized(q_cols, bits: int, where):
     return code
 
 
-@functools.partial(jax.jit, static_argnames=("leaf",))
-def kd_order_device(points: jax.Array, leaf: int) -> jax.Array:
-    """Balanced k-d ordering on device: median splits on each segment's
-    widest axis via segmented sorts, until segments reach ``leaf`` points.
-
-    ``points`` must have a power-of-two multiple of ``leaf`` rows (pad by
-    repeating real points — duplicates are idempotent under the min-fold
-    and keep leaf boxes tight, unlike far-sentinel padding whose mixed
-    leaves would get huge boxes). Returns the permutation; consecutive
-    ``leaf``-runs of the result partition space with disjoint boxes
-    (~1.6x tighter than Hilbert runs by volume).
-    """
-    n, dim = points.shape
-    levels = max(0, (n // leaf - 1).bit_length())
-    order = jnp.arange(n, dtype=jnp.int32)
-    pts = points
-    for lvl in range(levels):
-        nseg = 1 << lvl
-        m = n // nseg
-        seg = pts.reshape(nseg, m, dim)
-        ext = jnp.max(seg, axis=1) - jnp.min(seg, axis=1)  # (nseg, dim)
-        ax = jnp.argmax(ext, axis=1)  # (nseg,)
-        keys = jnp.take_along_axis(
-            seg, ax[:, None, None].astype(jnp.int32), axis=2
-        )[:, :, 0]  # (nseg, m)
-        idx = jnp.argsort(keys, axis=1)
-        pts = jnp.take_along_axis(seg, idx[:, :, None], axis=1).reshape(
-            n, dim
-        )
-        order = jnp.take_along_axis(
-            order.reshape(nseg, m), idx, axis=1
-        ).reshape(n)
-    return order
-
-
 @functools.partial(jax.jit, static_argnames=("bits",))
 def hilbert_codes(points: jax.Array, bits: int) -> jax.Array:
     """Hilbert curve codes of points, ``bits`` bits per axis (device)."""
@@ -238,7 +192,6 @@ def _flood_kernel(
     dim: int,
     nsub: int,
     sub: int,
-    mxu: bool = MXU,
 ):
     p = pl.program_id(0)
 
@@ -324,10 +277,6 @@ def _flood_kernel(
                     # f32, and dominates every in-ball distance in both
                     # the coordinate-loop and MXU formulations.)
                     ymask = jnp.where(y2 <= r2, yl, jnp.float32(3e18))
-                    if mxu:
-                        ym2 = jnp.sum(
-                            ymask * ymask, axis=1, keepdims=True
-                        )  # (SUB, 1)
 
                     def r_body(r, carry):
                         ok = tile_ok_ref[pl.ds(r, 1), :]  # (1, 1)
@@ -336,38 +285,21 @@ def _flood_kernel(
                         def _tile(r=r):
                             prev = out_ref[s, pl.ds(r, 1), :]  # (1, RT)
                             x = samples_ref[s, r]  # (dim, RT)
-                            if mxu:
-                                # |y−x|² = |y|² − 2 y·x + |x|²; the cross
-                                # term rides the systolic array
-                                # HIGHEST: the TPU MXU's default f32
-                                # precision is a single bf16 pass, which
-                                # rounds coordinates to 8-bit mantissas
-                                # (~4e-3 relative on the cross term) —
-                                # enough to breach the 5e-4 oracle
-                                # tolerance. Interpret mode computes
-                                # exact f32 and cannot catch this.
-                                xy = jax.lax.dot_general(
-                                    ymask, x,
-                                    (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                    precision=jax.lax.Precision.HIGHEST,
-                                )  # (SUB, RT)
-                                x2 = jnp.sum(
-                                    x * x, axis=0, keepdims=True
-                                )  # (1, RT)
-                                d2 = (ym2 - 2.0 * xy) + x2
-                                # cancellation can go slightly negative
-                                d2 = jnp.maximum(d2, 0.0)
-                            else:
-                                d2 = jnp.zeros(
-                                    (sub, rt), dtype=jnp.float32
+                            # Per-coordinate VPU accumulation. The MXU
+                            # |y|²−2y·x+|x|² formulation was measured on
+                            # hardware (sweep 2026-08-18) at 2-12x SLOWER
+                            # at every RT — the f32-HIGHEST multi-pass it
+                            # needs for the 5e-4 oracle tolerance erases
+                            # the systolic-array win at dim=2..3.
+                            d2 = jnp.zeros(
+                                (sub, rt), dtype=jnp.float32
+                            )
+                            for i in range(dim):
+                                diff = (
+                                    ymask[:, i : i + 1]
+                                    - x[i : i + 1, :]
                                 )
-                                for i in range(dim):
-                                    diff = (
-                                        ymask[:, i : i + 1]
-                                        - x[i : i + 1, :]
-                                    )
-                                    d2 = d2 + diff * diff
+                                d2 = d2 + diff * diff
                             cmin = jnp.min(d2, axis=0, keepdims=True)
                             out_ref[s, pl.ds(r, 1), :] = jnp.minimum(
                                 prev, cmin
@@ -380,7 +312,7 @@ def _flood_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bs", "dim", "nsub", "sub", "interpret", "mxu"),
+    static_argnames=("bs", "dim", "nsub", "sub", "interpret"),
     donate_argnums=(10,),
 )
 def _flood_pairs_call(
@@ -401,7 +333,6 @@ def _flood_pairs_call(
     nsub: int,
     sub: int,
     interpret: bool,
-    mxu: bool = MXU,
 ):
     npairs = pair_s.shape[0]
     nr = samples.shape[1]
@@ -409,7 +340,7 @@ def _flood_pairs_call(
     wchunk = nsub * sub
 
     kernel = functools.partial(
-        _flood_kernel, bs=bs, dim=dim, nsub=nsub, sub=sub, mxu=mxu
+        _flood_kernel, bs=bs, dim=dim, nsub=nsub, sub=sub
     )
 
     out = pl.pallas_call(
@@ -717,45 +648,36 @@ class PallasFloodEngine:
         # clouds reuse compiled kernels (the cold-compile cliff fix).
         n_chunks = 1 << max(0, (total // self.wchunk) - 1).bit_length()
         total = n_chunks * self.wchunk
-        if _os.environ.get("FLOODER_WITNESS_ORDER") == "kd":
-            # Balanced k-d order (segmented device sorts): disjoint,
-            # ~1.6x-tighter sub-chunk boxes than Hilbert runs. Pad to the
-            # bucketed total BEFORE ordering by repeating real points
-            # (cyclic): duplicates are idempotent under min and keep every
-            # leaf box tight (far-sentinel rows would blow up the boxes of
-            # the leaves they land in).
-            pts_padded = points
-            if total != n:
-                reps = jnp.tile(points, (-(-total // n), 1))[: total - n]
-                pts_padded = jnp.concatenate([points, reps], axis=0)
-            order = kd_order_device(pts_padded, leaf=SUB)
-            pts_sorted = pts_padded[order]
-        else:
-            codes = hilbert_codes(points, bits) if dim > 1 else morton_codes(
-                points, bits
-            )
-            order = jnp.argsort(codes)
-            pts_sorted = points[order]
-            if total != n:
-                # The last partial chunk is padded by repeating the last
-                # witness (keeps its bounding box tight; duplicates are
-                # harmless under min). Whole bucket-padding chunks are
-                # filled with a far-away coordinate so they intersect no
-                # ball and never enter the work-list.
-                n_tail = _round_up(n, self.wchunk) - n
-                parts = [pts_sorted]
-                if n_tail:
-                    parts.append(jnp.repeat(pts_sorted[-1:], n_tail, axis=0))
-                n_far = total - n - n_tail
-                if n_far:
-                    # NOTE: must differ from the simplex-padding coordinate
-                    # (+8e14): padded simplices are zero-radius balls AT
-                    # their own coordinate, so a far-chunk at the same spot
-                    # would self-admit and burn full tile loops on garbage.
-                    parts.append(
-                        jnp.full((n_far, dim), -8.0e14, dtype=points.dtype)
-                    )
-                pts_sorted = jnp.concatenate(parts, axis=0)
+        # Hilbert witness ordering. A balanced k-d alternative
+        # (segmented median splits; ~1.6x tighter sub-chunk boxes by
+        # volume) was measured against it on hardware (sweep 2026-08-18):
+        # +0.04 s at the 1M headline, under its 0.1 s adoption
+        # threshold, so the simpler curve order ships alone.
+        codes = hilbert_codes(points, bits) if dim > 1 else morton_codes(
+            points, bits
+        )
+        order = jnp.argsort(codes)
+        pts_sorted = points[order]
+        if total != n:
+            # The last partial chunk is padded by repeating the last
+            # witness (keeps its bounding box tight; duplicates are
+            # harmless under min). Whole bucket-padding chunks are
+            # filled with a far-away coordinate so they intersect no
+            # ball and never enter the work-list.
+            n_tail = _round_up(n, self.wchunk) - n
+            parts = [pts_sorted]
+            if n_tail:
+                parts.append(jnp.repeat(pts_sorted[-1:], n_tail, axis=0))
+            n_far = total - n - n_tail
+            if n_far:
+                # NOTE: must differ from the simplex-padding coordinate
+                # (+8e14): padded simplices are zero-radius balls AT
+                # their own coordinate, so a far-chunk at the same spot
+                # would self-admit and burn full tile loops on garbage.
+                parts.append(
+                    jnp.full((n_far, dim), -8.0e14, dtype=points.dtype)
+                )
+            pts_sorted = jnp.concatenate(parts, axis=0)
         # Transposed (dim, W) storage: the kernel's HBM buffer layout pads
         # the minor dimension to 128 lanes, so (W, small-d) storage would
         # cost 128/d× its size (20 GB for 40M 2-D points).
@@ -863,44 +785,24 @@ class PallasFloodEngine:
 
         radii2 = radii[:, None]
 
-        def run_pairs(ps_np, pc_np, acc, short_phase=False, pad_pair=None):
+        def run_pairs(ps_np, pc_np, acc):
             """Run a (block-major, already-ordered) pair list through the
             kernel in fixed-size segments. Scalar-prefetch operands live in
             the chip's 1MB SMEM, and a fixed segment length keeps the grid
             (a compile key) stable across clouds. The running min is
             carried across launches through the aliased accumulator;
-            blocks untouched by every segment simply keep their values.
-
-            ``short_phase`` selects the fixed 2048-pair segment used
-            for the two-phase refresh's phase A (one length, one compile
-            key — not a per-call size); ``pad_pair`` pads with an
-            inactive (block, chunk) pair — admission fails instantly and
-            Pallas never re-DMAs a constant pair — instead of repeating
-            real work."""
+            blocks untouched by every segment simply keep their values."""
             seg_len = PAIR_SEGMENT
             if self.interpret:
                 # interpreter: right-size the segment (no compile cache
                 # to protect; smaller grids keep tests fast)
                 seg_len = max(256, 1 << max(0, len(ps_np) - 1).bit_length())
                 seg_len = min(seg_len, PAIR_SEGMENT)
-            elif short_phase:
-                # short phase (two-phase refresh phase A): ONE fixed
-                # length — the grid is a Mosaic compile key, so a
-                # per-call power-of-two bucket would cold-compile every
-                # phase-A size class
-                seg_len = min(PAIR_SEGMENT, 2048)
             nseg = max(1, -(-len(ps_np) // seg_len))
             total_pairs = nseg * seg_len
             if total_pairs != len(ps_np):
                 pad = total_pairs - len(ps_np)
-                if pad_pair is not None:
-                    ps_np = np.concatenate(
-                        [ps_np, np.full(pad, pad_pair[0], np.int32)]
-                    )
-                    pc_np = np.concatenate(
-                        [pc_np, np.full(pad, pad_pair[1], np.int32)]
-                    )
-                elif len(ps_np):
+                if len(ps_np):
                     # repeat the last pair: the min-fold is idempotent
                     ps_np = np.concatenate([ps_np, np.repeat(ps_np[-1:], pad)])
                     pc_np = np.concatenate([pc_np, np.repeat(pc_np[-1:], pad)])
@@ -934,95 +836,19 @@ class PallasFloodEngine:
                         nsub=WCHUNK // SUB,
                         sub=SUB,
                         interpret=self.interpret,
-                        mxu=_mxu_enabled(),
                     )
             return acc
 
         acc = jnp.full((s_total, nr, rt), jnp.inf, dtype=jnp.float32)
-        # Earlier two-phase attempts (rounds 1-2) were slower because the
-        # phase-A segment padded with REPEATED real pairs (≈10x phase-A
-        # work) and the refresh re-ran the whole work-list. This variant
-        # pads with an inactive pair and DROPS pairs whose (block, chunk)
-        # gap exceeds the realized bound — the adaptive-floor analysis
-        # (tools/adaptive_floor.py) shows converged bounds admit ~4x less
-        # tile work than the static bound the work-list is built from.
-        # Off by default pending the hardware sweep.
-        if (
-            _os.environ.get("FLOODER_PALLAS_PHASES", "1") == "2"
-            and len(pair_s_np)
-        ):
-            pad_pair = select_pad_pair(active)
-            # phase A: the K nearest chunks of every block (K=1 default;
-            # larger K tightens the realized bound at more phase-A cost)
-            k_a = max(1, int(_os.environ.get("FLOODER_PALLAS_PHASEA", "1")))
-            newblk = np.concatenate(
-                [[True], pair_s_np[1:] != pair_s_np[:-1]]
-            )
-            # rank of each pair within its block (pairs are block-major,
-            # nearest-first)
-            blk_start = np.maximum.accumulate(
-                np.where(newblk, np.arange(len(pair_s_np)), 0)
-            )
-            first = (np.arange(len(pair_s_np)) - blk_start) < k_a
-            acc = run_pairs(
-                pair_s_np[first], pair_c_np[first], acc,
-                short_phase=True, pad_pair=pad_pair,
-            )
-            # realized per-simplex bounds from the accumulator
-            pm = np.asarray(_block_bounds(acc))  # (S_total,)
-            ub2max_new = np.minimum(
-                pm, np.asarray(ub2[:, :, 0].max(axis=1))
-            )
-            samp_lo_g = np.asarray(jnp.min(tile_lo, axis=1)) + np.asarray(
-                centers
-            )
-            samp_hi_g = np.asarray(jnp.max(tile_hi, axis=1)) + np.asarray(
-                centers
-            )
-            active2, pairdist2 = jax.device_get(_active_pairs_matrix(
-                centers, radii, jnp.asarray(samp_lo_g),
-                jnp.asarray(samp_hi_g), jnp.asarray(ub2max_new),
-                self.chunk_lo, self.chunk_hi, self.wchunk, BS,
-            ))
-            active2 = np.array(active2)  # device_get gives read-only views
-            active2[pair_s_np[first], pair_c_np[first]] = False
-            ps2, pc2 = np.nonzero(active2)
-            # cost-model instrumentation: counts are always recorded
-            # (ints, free); the full pair lists / distance matrix are
-            # MBs at stress scale and sit inside the timed hot path, so
-            # they are only retained under FLOODER_PHASE_STATS=1 (set by
-            # tests/test_pallas.py::test_two_phase_structure)
-            self._phase_stats = {
-                "static_pairs": int(len(pair_s_np)),
-                "phase_a_pairs": int(first.sum()),
-                "phase_b_pairs": int(len(ps2)),
-                "k_a": k_a,
-            }
-            if _os.environ.get("FLOODER_PHASE_STATS", "0") == "1":
-                self._phase_stats.update({
-                    "static": (pair_s_np.copy(), pair_c_np.copy()),
-                    "phase_a": (
-                        pair_s_np[first].copy(), pair_c_np[first].copy()
-                    ),
-                    "phase_b": (ps2.copy(), pc2.copy()),
-                    "pairdist": pairdist,
-                })
-            if len(ps2):
-                o2 = np.lexsort((pairdist2[ps2, pc2], ps2))
-                acc = run_pairs(
-                    ps2[o2].astype(np.int32), pc2[o2].astype(np.int32),
-                    acc, pad_pair=pad_pair,
-                )
-        else:
-            acc = run_pairs(pair_s_np, pair_c_np, acc)
+        # Single static-bound pass. A two-phase bound refresh (run the
+        # nearest chunk(s) of every block, realize per-simplex bounds,
+        # rebuild and re-dispatch the shrunk work-list) was built and
+        # priced in rounds 3-4; the 2026-08-18 hardware sweep measured it
+        # +0.24 s SLOWER at the 1M headline (the host round-trip and the
+        # second dispatch cost more than the dropped tiles saved), so the
+        # mechanism was deleted (tpu_runs/sweep_r04.jsonl).
+        acc = run_pairs(pair_s_np, pair_c_np, acc)
         return acc, sperm, num_simplices, s_total, r2_total
-
-
-@jax.jit
-def _block_bounds(acc):
-    """Realized per-simplex upper bound: the max running min over all of
-    the simplex's samples (converged after the nearest chunk)."""
-    return jnp.max(jnp.max(acc, axis=2), axis=1)
 
 
 # Squared distances at or above this are the in-kernel mask constant

@@ -175,13 +175,9 @@ class MeshPallasFloodEngine:
     automatically on TPU float32 (``use_pallas=False`` forces the dense
     mesh engine).
 
-    The single-chip engine's optional two-phase bound refresh
-    (``FLOODER_PALLAS_PHASES=2``) is deliberately NOT wired into the mesh
-    path: the refresh needs a global realized bound per simplex block,
-    which under the mesh would cost an extra cross-shard reduction +
-    host round-trip per step. The mesh engine always runs the static
-    work-list, which is a strict superset of the refreshed one, so
-    results are identical either way.
+    Like the single-chip engine, the mesh path runs the static
+    work-list in one pass (a two-phase bound refresh was measured
+    +0.24 s slower on hardware and deleted, tpu_runs/sweep_r04.jsonl).
     """
 
     def __init__(self, points: jax.Array, wchunk: int, mesh: Mesh,
@@ -473,7 +469,7 @@ class MeshPallasFloodEngine:
                 ss[0, 0], sc[0, 0], sf[0, 0], smp, wit, cen, rad,
                 tlo, thi, u2, a[0],
                 bs=BS, dim=dim, nsub=nsub, sub=pf.SUB,
-                interpret=interpret, mxu=pf._mxu_enabled(),
+                interpret=interpret,
             )
             return a[None]
 

@@ -88,40 +88,6 @@ def test_morton_codes_locality():
     assert diag.mean() < 0.5 * np.sqrt(3)
 
 
-def test_pallas_mxu_path(monkeypatch):
-    """The experimental MXU tile formulation (|y|² − 2 y·x + |x|², cross
-    term on the systolic array) must agree with the coordinate-difference
-    form within its cancellation-error bound."""
-    monkeypatch.setenv("FLOODER_PALLAS_MXU", "1")
-    X = generate_noisy_torus_points_3d(1500, seed=42)
-    L = generate_landmarks(X, 100, start_idx=0)
-    fc_mxu = flood_complex(X, L, points_per_edge=10, use_pallas=True)
-    monkeypatch.setenv("FLOODER_PALLAS_MXU", "0")
-    fc_ref = flood_complex(X, L, points_per_edge=10, use_pallas=True)
-    assert set(fc_mxu) == set(fc_ref)
-    for s, v in fc_ref.items():
-        if np.isinf(v):
-            assert np.isinf(fc_mxu[s])
-        else:
-            assert fc_mxu[s] == pytest.approx(v, rel=2e-4, abs=1e-5)
-
-
-def test_pallas_kd_witness_order(monkeypatch):
-    """FLOODER_WITNESS_ORDER=kd (balanced k-d partition instead of Hilbert
-    runs) is a pure permutation of the witnesses — filtrations must be
-    identical to the default ordering."""
-    monkeypatch.setenv("FLOODER_WITNESS_ORDER", "kd")
-    X = generate_noisy_torus_points_3d(1500, seed=7)
-    L = generate_landmarks(X, 100, start_idx=0)
-    fc_kd = flood_complex(X, L, points_per_edge=10, use_pallas=True)
-    monkeypatch.delenv("FLOODER_WITNESS_ORDER")
-    fc_ref = flood_complex(X, L, points_per_edge=10, use_pallas=True)
-    assert set(fc_kd) == set(fc_ref)
-    for s, v in fc_ref.items():
-        if np.isinf(v):
-            assert np.isinf(fc_kd[s])
-        else:
-            assert fc_kd[s] == pytest.approx(v, abs=1e-5)
 
 
 def test_select_pad_pair_reseed_safety():
@@ -147,81 +113,3 @@ def test_select_pad_pair_reseed_safety():
 
     # no dist given → chunk 0 of the inactive block
     assert select_pad_pair(active) == (2, 0)
-
-
-@pytest.mark.parametrize("k_a_env", ["1", "2"])
-def test_two_phase_structure(monkeypatch, k_a_env):
-    """Cost-model pin for the two-phase refresh (verdict r3 #6): phase A
-    runs exactly the K nearest chunks of every live block, phase B never
-    revisits a phase-A pair, and the refreshed bound actually DROPS pairs
-    (phase A + phase B < the static work-list) — not just value parity.
-    K=2 is the adaptive-floor model's preferred width
-    (tpu_runs/adaptive_floor_1m_ka2.json), so its structure is pinned
-    alongside the K=1 default."""
-    from flooder_tpu.ops.pallas_flood import PallasFloodEngine
-
-    monkeypatch.setenv("FLOODER_PALLAS_PHASES", "2")
-    monkeypatch.setenv("FLOODER_PALLAS_PHASEA", k_a_env)
-    monkeypatch.setenv("FLOODER_PHASE_STATS", "1")
-    captured = {}
-
-    def _capture(pts, wc):
-        captured["e"] = PallasFloodEngine(pts, wc)
-        return captured["e"]
-
-    # 6000 points span 4 witness chunks (WCHUNK=2048, bucketed), so blocks
-    # have several active chunks and the refreshed bound has pairs to drop
-    X = generate_noisy_torus_points_3d(6000, seed=11)
-    L = generate_landmarks(X, 150, start_idx=0)
-    flood_complex(
-        X, L, points_per_edge=10, landmarks_in_cloud=True,
-        _engine_override=_capture,
-    )
-    stats = captured["e"]._phase_stats
-    ps, pc = stats["static"]
-    pa_s, pa_c = stats["phase_a"]
-    pb_s, pb_c = stats["phase_b"]
-    d = stats["pairdist"]
-    k_a = stats["k_a"]
-
-    # phase A = the k_a nearest chunks of each live block, exactly
-    import collections
-
-    by_block = collections.defaultdict(list)
-    for s, c in zip(ps, pc):
-        by_block[int(s)].append(int(c))
-    expect_a = set()
-    for s, chunks in by_block.items():
-        near = sorted(chunks, key=lambda c: d[s, c])[:k_a]
-        expect_a.update((s, c) for c in near)
-    got_a = set(zip(pa_s.tolist(), pa_c.tolist()))
-    assert got_a == expect_a
-
-    # phase B ⊆ static ∖ phase A (phase-A pairs are never revisited)
-    static = set(zip(ps.tolist(), pc.tolist()))
-    got_b = set(zip(pb_s.tolist(), pb_c.tolist()))
-    assert got_b.isdisjoint(got_a)
-    assert got_b <= static - got_a
-
-    # the realized bound must actually shrink the work-list
-    assert len(got_a) + len(got_b) < len(static)
-
-
-@pytest.mark.parametrize("k_a_env", ["1", "2"])
-def test_pallas_two_phase_refresh(monkeypatch, k_a_env):
-    """FLOODER_PALLAS_PHASES=2 (run nearest chunks, refresh bounds, drop
-    pairs the realized bound excludes) must be lossless: dropped pairs
-    provably cannot lower any running min."""
-    monkeypatch.setenv("FLOODER_PALLAS_PHASES", "2")
-    monkeypatch.setenv("FLOODER_PALLAS_PHASEA", k_a_env)
-    X = generate_noisy_torus_points_3d(1500, seed=11)
-    L = generate_landmarks(X, 120, start_idx=0)
-    fc_2p = flood_complex(X, L, points_per_edge=10, use_pallas=True)
-    monkeypatch.delenv("FLOODER_PALLAS_PHASES")
-    fc_ref = flood_complex(X, L, points_per_edge=10, use_pallas=True)
-    assert set(fc_2p) == set(fc_ref)
-    for s, v in fc_ref.items():
-        if np.isinf(v):
-            assert np.isinf(fc_2p[s])
-        else:
-            assert fc_2p[s] == pytest.approx(v, abs=1e-6)

@@ -31,18 +31,18 @@ from tools.lower_check import lower_flood, lower_fps
 from flooder_tpu.ops.pallas_flood import BS, RT, SUB, WCHUNK
 
 
-@pytest.mark.parametrize("mxu", [False, True], ids=["vpu", "mxu"])
+
 @pytest.mark.parametrize("dim", [2, 3])
-def test_flood_kernel_lowers_to_mosaic(mxu, dim):
+def test_flood_kernel_lowers_to_mosaic(dim):
     """The shipped flood kernel geometry must pass Mosaic lowering for
     both the per-coordinate VPU path and the MXU dot-product path."""
-    lower_flood(BS, dim, RT, SUB, WCHUNK, mxu)
+    lower_flood(BS, dim, RT, SUB, WCHUNK)
 
 
 def test_flood_kernel_multi_tile_lowers():
     """Multiple sample tiles per simplex block (nr > 1) exercise the
     r_body fori_loop branch of the kernel."""
-    lower_flood(BS, 3, RT, SUB, WCHUNK, False, nr=3)
+    lower_flood(BS, 3, RT, SUB, WCHUNK, nr=3)
 
 
 def test_fps_kernel_lowers_to_mosaic():

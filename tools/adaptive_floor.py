@@ -105,16 +105,18 @@ def main():
     flops_per_tile = pf.SUB * rt * (2 * 3 + 1)
 
     # ------------------------------------------------------------------
-    # Two-phase refresh pricing (verdict r3 #5c): simulate phase A exactly
-    # as production runs it (FLOODER_PALLAS_PHASES=2, K nearest chunks per
-    # live block), derive the REALIZED bounds from exact phase-A-chunk
-    # distances, rebuild the phase-B work-list the way the engine does,
-    # and price the launches so the hardware decision rule has a prior.
+    # Two-phase refresh pricing (verdict r3 #5c). HISTORICAL: this priced
+    # the refresh mechanism the engine carried through round 4; the
+    # 2026-08-18 hardware sweep measured it +0.24 s slower at the 1M
+    # headline and the engine code path was deleted. The replica below is
+    # kept because it documents WHY the model's predicted win did not
+    # materialize (the model prices tile volume, not the host round-trip
+    # + second dispatch the refresh pays for).
     # ------------------------------------------------------------------
     import time as _time
 
     pairdist = np.asarray(jax.device_get(sc.pairdist_d))
-    # same clamp as the engine (pallas_flood.py _run_kernel): k_a >= 1
+    # same clamp as the deleted engine path used: k_a >= 1
     k_a = max(1, int(os.environ.get("FLOODER_PALLAS_PHASEA", "1")))
     o = np.lexsort((pairdist[pair_s, pair_c], pair_s))
     ps_o, pc_o = pair_s[o], pair_c[o]

@@ -68,7 +68,7 @@ def main():
             sc.samples, engine.witnesses, sc.centers_p, sc.radii_p[:, None],
             sc.tile_lo, sc.tile_hi, sc.ub2, a,
             bs=pf.BS, dim=3, nsub=engine.wchunk // pf.SUB, sub=pf.SUB,
-            interpret=interp, mxu=False,
+            interpret=interp,
         )
 
     acc = launch(acc)  # compile

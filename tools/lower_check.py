@@ -1,11 +1,11 @@
-"""Off-hardware Mosaic lowering check for every kernel geometry the
-phase-3 hardware sweep (tools/tpu_session.sh) will compile.
+"""Off-hardware Mosaic lowering check for the shipped kernel geometry.
 
 Interpret-mode tests execute kernel semantics but skip the Mosaic
-pipeline; this script runs the real Pallas->Mosaic lowering for each
-sweep combo's (bs, rt, sub, mxu) geometry via JAX cross-platform
-lowering, so a chip session never burns alive-time on a variant that
-cannot compile. Usage:
+pipeline; this script runs the real Pallas->Mosaic lowering for the
+shipped (bs, rt, sub) geometry in both ambient dims via JAX
+cross-platform lowering, so a chip session never burns alive-time on
+code that cannot compile. (The 2026-08-18 hardware sweep collapsed the
+former per-combo matrix to this one configuration.) Usage:
 
     python tools/lower_check.py
 """
@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 
-def lower_flood(bs, dim, rt, sub, wchunk, mxu, nr=1, sb=2, npairs=4):
+def lower_flood(bs, dim, rt, sub, wchunk, nr=1, sb=2, npairs=4):
     from flooder_tpu.ops.pallas_flood import _flood_pairs_call
 
     args = (
@@ -37,7 +37,7 @@ def lower_flood(bs, dim, rt, sub, wchunk, mxu, nr=1, sb=2, npairs=4):
     )
     traced = _flood_pairs_call.trace(
         *args, bs=bs, dim=dim, nsub=wchunk // sub, sub=sub,
-        interpret=False, mxu=mxu,
+        interpret=False,
     )
     txt = traced.lower(lowering_platforms=("tpu",)).as_text()
     assert "tpu_custom_call" in txt
@@ -57,48 +57,25 @@ def lower_fps(dim, chunk, nchunks, n_samples):
     assert "tpu_custom_call" in txt
 
 
-def _sweep_geometry(rt_env: int, r_count: int):
-    """Replicate ``pallas_flood._tile_geometry`` for an env RT override:
-    the kernel never tiles wider than the (128-padded) sample count, and
-    splits the samples into nr tiles of rt lanes. Lowering the raw env
-    value with nr=1 would gate the WRONG shapes (e.g. RT=8192 on the
-    4960-sample bench grid really compiles rt=4992, and RT<=2048 compiles
-    nr>1 multi-tile kernels)."""
-    rt = min(rt_env, -(-r_count // 128) * 128)
-    nr = -(-r_count // rt)
-    return rt, nr
-
-
 def main():
     # config-level CPU forcing belongs here, not at import time: the
     # lowering tests import the builders above and must not clobber the
     # backend of an on-TPU pytest run (FLOODER_TEST_TPU=1)
     jax.config.update("jax_platforms", "cpu")
-    # (label, bs, RT-env, sub, mxu) — every geometry phase3 compiles, in
-    # both ambient dims used by the BASELINE configs (2-D figure-eight,
-    # 3-D cheese/torus). WCHUNK stays at its shipped 2048 in all combos.
-    # The bench runs grid mode at 30 points/edge, so the top-dim sample
-    # count is C(32,3)=4960 (3-D) / C(31,2)=465 (2-D); each combo lowers
-    # the exact (rt, nr) tiling the kernel derives from that count.
+    # The shipped geometry in both ambient dims used by the BASELINE
+    # configs (2-D figure-eight, 3-D cheese/torus). The bench runs grid
+    # mode at 30 points/edge, so the top-dim sample count is C(32,3)=4960
+    # (3-D) / C(31,2)=465 (2-D); lower the exact (rt, nr) tiling the
+    # kernel derives from that count (pallas_flood._tile_geometry).
     r_counts = {2: 465, 3: 4960}
-    combos = []
-    for dim in (2, 3):
-        combos += [
-            (f"default d{dim}", 8, 512, 512, dim, False),
-            (f"PHASES=2 d{dim} (same geometry, short segments)", 8, 512, 512, dim, False),
-            (f"MXU d{dim}", 8, 512, 512, dim, True),
-            (f"SUB=256 d{dim}", 8, 512, 256, dim, False),
-            (f"RT=256 d{dim}", 8, 256, 512, dim, False),
-            (f"RT=256 SUB=256 d{dim}", 8, 256, 256, dim, False),
-            (f"MXU RT=1024 d{dim}", 8, 1024, 512, dim, True),
-            (f"MXU RT=2048 d{dim}", 8, 2048, 512, dim, True),
-            (f"MXU RT=8192 d{dim} (96MB vmem param)", 8, 8192, 512, dim, True),
-        ]
     failures = 0
-    for label, bs, rt_env, sub, dim, mxu in combos:
-        rt, nr = _sweep_geometry(rt_env, r_counts[dim])
+    for dim in (2, 3):
+        r_count = r_counts[dim]
+        rt = min(512, -(-r_count // 128) * 128)
+        nr = -(-r_count // rt)
+        label = f"shipped d{dim}"
         try:
-            lower_flood(bs, dim, rt, sub, 2048, mxu, nr=nr)
+            lower_flood(8, dim, rt, 512, 2048, nr=nr)
             print(f"OK   flood {label} (rt={rt} nr={nr})")
         except Exception as e:  # noqa: BLE001
             failures += 1
@@ -127,7 +104,6 @@ def _aux_checks():
     from flooder_tpu.ops.pallas_flood import (
         _active_pairs_matrix,
         hilbert_codes,
-        kd_order_device,
     )
     from flooder_tpu.ops.pallas_fps import _fps_prepare
 
@@ -149,12 +125,6 @@ def _aux_checks():
                 wchunk=wchunk,
                 bs=bs,
             ),
-        ),
-        (
-            "kd ordering",
-            lambda: jax.jit(
-                lambda p: kd_order_device(p, 2048)
-            ).trace(jnp.zeros((8192, dim), jnp.float32)),
         ),
         (
             "hilbert codes",

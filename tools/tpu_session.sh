@@ -56,32 +56,15 @@ EOF
 }
 
 phase3() {
-  # RT sweeps change the MXU dot's N dimension: RT=8192 makes one tile
-  # span all samples, so the cross-term matmul is (SUB, d)x(d, ~5k) —
-  # amortized MXU issue at the cost of tile-granular skips. Results are
-  # appended as JSONL for tools/sweep_decide.py.
-  echo "== per-launch overhead (validates the two-phase break-even prior) =="
-  timeout 900 python tools/launch_overhead.py --points 1000000 | tee tpu_runs/launch_overhead.json || true
+  # The 20-combo kernel-variant sweep ran on 2026-08-18
+  # (tpu_runs/sweep_r04.jsonl + session logs): the shipped default won
+  # every flag decision (kd +0.04 s < its 0.1 s threshold; MXU,
+  # two-phase refresh, SUB=256, RT=256 all slower) and the losing code
+  # paths were DELETED. This phase is now a confirmation bench of the
+  # one shipped configuration; the JSONL append protocol is kept so a
+  # future geometry change can extend the same decision record.
   SWEEP=tpu_runs/sweep_r04.jsonl
-  # Ordered by expected value (adaptive-floor prior: two-phase is the
-  # decisive lever, then MXU/rate, then ordering/geometry) so a chip
-  # re-wedge mid-sweep still leaves the big decisions made.
-  for v in "" \
-           "FLOODER_PALLAS_PHASES=2 FLOODER_PALLAS_PHASEA=2" \
-           "FLOODER_PALLAS_PHASES=2" \
-           "FLOODER_PALLAS_PHASES=2 FLOODER_PALLAS_PHASEA=2 FLOODER_PALLAS_MXU=1" \
-           "FLOODER_PALLAS_PHASES=2 FLOODER_PALLAS_MXU=1" \
-           "FLOODER_PALLAS_MXU=1" \
-           "FLOODER_PALLAS_PHASES=2 FLOODER_PALLAS_PHASEA=3" \
-           "FLOODER_PALLAS_PHASES=2 FLOODER_PALLAS_SUB=256" \
-           "FLOODER_PALLAS_MXU=1 FLOODER_PALLAS_RT=1024" \
-           "FLOODER_PALLAS_MXU=1 FLOODER_PALLAS_RT=2048" \
-           "FLOODER_PALLAS_MXU=1 FLOODER_PALLAS_RT=8192" \
-           "FLOODER_WITNESS_ORDER=kd" \
-           "FLOODER_PALLAS_SUB=256" "FLOODER_PALLAS_RT=256" \
-           "FLOODER_PALLAS_SUB=256 FLOODER_PALLAS_RT=256" \
-           "FLOODER_WITNESS_ORDER=kd FLOODER_PALLAS_SUB=256" \
-           "FLOODER_PALLAS_MXU=1 FLOODER_WITNESS_ORDER=kd"; do
+  for v in ""; do
     echo "== bench sweep: [$v] =="
     out=$(env $v FLOODER_BENCH_REPS=2 timeout 1500 python bench.py)
     echo "$out"

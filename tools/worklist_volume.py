@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Work-volume model for the fused flood kernel's skip hierarchy.
 
-Computes, for a given witness ordering (hilbert / kd), how much work the
+Computes, for the shipped Hilbert witness ordering, how much work the
 kernel would actually execute at each level of its skip hierarchy on a
 real cloud:
 
@@ -15,13 +15,13 @@ real cloud:
 Scene setup and the admission replay live in tools/pricing_common.py
 (shared with adaptive_floor and launch_overhead); it drives the
 production engine's own prep code, so the pair lists are exactly the
-ones the TPU kernel would walk. Used to choose between witness orderings
+ones the TPU kernel would walk. Was used to choose between witness orderings
 (VERDICT round-2 item 3) before spending hardware time; the final call is
 still a wall-clock sweep on the chip.
 
 Usage:
     JAX_PLATFORMS=cpu python tools/worklist_volume.py --points 1000000 \
-        --landmarks 1000 --order hilbert
+        --landmarks 1000
 """
 
 from __future__ import annotations
@@ -38,7 +38,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=1_000_000)
     ap.add_argument("--landmarks", type=int, default=1000)
-    ap.add_argument("--order", choices=["hilbert", "kd"], default="hilbert")
+    # the kd ordering alternative was deleted after the 2026-08-18
+    # hardware sweep (+0.04 s, under its 0.1 s adoption threshold); the
+    # replay prices the shipped Hilbert order only
+
     ap.add_argument(
         "--bound",
         choices=["vertex", "lm"],
@@ -63,12 +66,6 @@ def main():
         "run (ref examples/example_03_figure_eight_2d.py, 40M points)",
     )
     args = ap.parse_args()
-
-    # the engine reads the ordering knob at module import
-    if args.order == "kd":
-        os.environ["FLOODER_WITNESS_ORDER"] = "kd"
-    else:
-        os.environ.pop("FLOODER_WITNESS_ORDER", None)
 
     import jax
 
@@ -128,7 +125,7 @@ def main():
     import json
 
     print(json.dumps({
-        "order": args.order,
+        "order": "hilbert",
         "bound": args.bound,
         "cloud": args.cloud,
         "dim": sc.dim,
