@@ -187,6 +187,7 @@ def _flood_kernel(
     acc_ref,  # (BS, NR, RT) accumulator carried across launches (aliased)
     out_ref,  # (BS, NR, RT) running min of squared distances
     tile_ok_ref,  # scratch (NR, 1) int32: per-tile admission bits
+    admit_ref,  # scratch (BS, NSUB) int32: per-(simplex, sub-chunk) bits
     *,
     bs: int,
     dim: int,
@@ -217,31 +218,54 @@ def _flood_kernel(
     samp_lo = jnp.min(tile_lo_ref[:], axis=1)  # (BS, dim) ball-local
     samp_hi = jnp.max(tile_hi_ref[:], axis=1)  # (BS, dim)
 
+    # Admission for ALL (simplex, sub-chunk) combinations in one
+    # vectorized pass. The scalar formulation (bs*nsub serialized
+    # iterations of (1, dim) ops) was measured on hardware at 11.4 us of
+    # pure overhead PER GRID STEP — 0.46 s of the 1.10 s kernel time at
+    # the 1M x 1k headline (tpu_runs/kstats_1m1k.json) — because every
+    # tiny op still issues as a full-width VPU instruction. Batched over
+    # (BS, NSUB) the same tests are ~a dozen instructions total; the
+    # loop below degenerates to scalar bit reads.
+    ysub = y_all.reshape(nsub, sub, dim)
+    box_lo_all = jnp.min(ysub, axis=1)  # (NSUB, dim)
+    box_hi_all = jnp.max(ysub, axis=1)  # (NSUB, dim)
+    c_all = cent_ref[:]  # (BS, dim)
+    r2_all = rad_ref[:] * rad_ref[:]  # (BS, 1)
+    near_all = (
+        jnp.clip(c_all[:, None, :], box_lo_all[None], box_hi_all[None])
+        - c_all[:, None, :]
+    )  # (BS, NSUB, dim)
+    near_d2_all = jnp.sum(near_all * near_all, axis=2)  # (BS, NSUB)
+    blo_all = box_lo_all[None] - c_all[:, None, :]  # ball-local boxes
+    bhi_all = box_hi_all[None] - c_all[:, None, :]
+    sgap_all = jnp.maximum(
+        jnp.maximum(
+            blo_all - samp_hi[:, None, :], samp_lo[:, None, :] - bhi_all
+        ),
+        0.0,
+    )
+    sgap2_all = jnp.sum(sgap_all * sgap_all, axis=2)  # (BS, NSUB)
+    admit_ref[:] = jnp.logical_and(
+        near_d2_all <= r2_all, sgap2_all <= s_bounds[:, None]
+    ).astype(jnp.int32)
+
     for isub in range(nsub):
         y = y_all[isub * sub : (isub + 1) * sub, :]  # (SUB, dim)
-        # sub-chunk bounding box (witnesses are Morton-sorted → tight)
-        box_lo = jnp.min(y, axis=0, keepdims=True)  # (1, dim)
-        box_hi = jnp.max(y, axis=0, keepdims=True)  # (1, dim)
         for s in range(bs):
-            c_s = cent_ref[s : s + 1, :]  # (1, dim)
-            r2 = rad_ref[s : s + 1, :] * rad_ref[s : s + 1, :]  # (1, 1)
-            near = jnp.clip(c_s, box_lo, box_hi) - c_s
-            near_d2 = jnp.sum(near * near, axis=1, keepdims=True)
-            # sub-chunk box in ball-local coordinates (for tile gap tests)
-            blo = box_lo - c_s
-            bhi = box_hi - c_s
-            sgap = jnp.maximum(
-                jnp.maximum(blo - samp_hi[s : s + 1, :],
-                            samp_lo[s : s + 1, :] - bhi),
-                0.0,
-            )
-            sgap2 = jnp.sum(sgap * sgap, axis=1, keepdims=True)
-            admit = jnp.logical_and(
-                near_d2[0, 0] <= r2[0, 0], sgap2[0, 0] <= s_bounds[s]
-            )
+            adm = admit_ref[s : s + 1, isub : isub + 1]  # (1, 1)
 
-            @pl.when(admit)
-            def _compute(s=s, y=y, c_s=c_s, r2=r2, blo=blo, bhi=bhi):
+            @pl.when(adm[0, 0] == 1)
+            def _compute(s=s, y=y):
+                c_s = cent_ref[s : s + 1, :]  # (1, dim)
+                r2 = (
+                    rad_ref[s : s + 1, :] * rad_ref[s : s + 1, :]
+                )  # (1, 1)
+                # sub-chunk box in ball-local coordinates (tile gap
+                # tests); recomputed only on admitted combinations
+                box_lo = jnp.min(y, axis=0, keepdims=True)
+                box_hi = jnp.max(y, axis=0, keepdims=True)
+                blo = box_lo - c_s
+                bhi = box_hi - c_s
                 # Tile-level skips, vectorized over ALL tiles at once
                 # (both exact):
                 # 1. static bound: the tile's distance to its nearest
@@ -386,7 +410,10 @@ def _flood_pairs_call(
                 (bs, nr, rt),
                 lambda p, ps, pc, pf: (ps[p], 0, 0),
             ),
-            scratch_shapes=[pltpu.VMEM((nr, 1), jnp.int32)],
+            scratch_shapes=[
+                pltpu.VMEM((nr, 1), jnp.int32),
+                pltpu.VMEM((bs, nsub), jnp.int32),
+            ],
         ),
         out_shape=jax.ShapeDtypeStruct(acc.shape, jnp.float32),
         # alias the accumulator input onto the output: untouched blocks
