@@ -573,8 +573,20 @@ def _prepare_sample_weights(weights, r2_total: int):
     applied permutation — callers inverse-permute their output columns.
     Padding repeats the last row (keeps the final tile's box tight;
     duplicate samples are harmless under min).
+
+    Cached by content: in grid mode the weights are a pure function of
+    (points_per_edge, dim), identical across every call and every cloud,
+    so the host Hilbert sort and the device transfer are paid once.
     """
     weights_np = np.asarray(weights, dtype=np.float32)
+    return _prepare_sample_weights_cached(
+        weights_np.tobytes(), weights_np.shape, r2_total
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _prepare_sample_weights_cached(wbytes: bytes, shape, r2_total: int):
+    weights_np = np.frombuffer(wbytes, dtype=np.float32).reshape(shape)
     sperm = _sample_morton_order(weights_np)
     ws = weights_np[sperm]
     if r2_total != len(ws):
