@@ -145,6 +145,47 @@ def _hilbert_from_quantized(q_cols, bits: int, where):
     return code
 
 
+@functools.partial(jax.jit, static_argnames=("leaf",))
+def kd_order_device(points: jax.Array, leaf: int) -> jax.Array:
+    """Balanced k-d ordering on device: median splits on each segment's
+    widest axis via segmented sorts, until segments reach ``leaf`` points.
+
+    ``points`` must have a power-of-two multiple of ``leaf`` rows (pad by
+    repeating real points — duplicates are idempotent under the min-fold
+    and keep leaf boxes tight, unlike far-sentinel padding whose mixed
+    leaves would get huge boxes). Returns the permutation; consecutive
+    ``leaf``-runs of the result partition space with disjoint boxes
+    (~1.6x tighter than Hilbert runs by volume).
+
+    Restored for an at-HEAD hardware sweep: at sha 5f087e2 this ordering
+    measured 1.3499/1.3980 s (vs_baseline 0.9642/0.9986) against the
+    Hilbert default's 1.3878 at the 1M headline (tpu_runs/sweep_r04.jsonl)
+    and was deleted on a +0.04 s margin; that margin is the distance
+    between 1.017 and <1.0, so it must be re-decided at HEAD.
+    """
+    n, dim = points.shape
+    levels = max(0, (n // leaf - 1).bit_length())
+    order = jnp.arange(n, dtype=jnp.int32)
+    pts = points
+    for lvl in range(levels):
+        nseg = 1 << lvl
+        m = n // nseg
+        seg = pts.reshape(nseg, m, dim)
+        ext = jnp.max(seg, axis=1) - jnp.min(seg, axis=1)  # (nseg, dim)
+        ax = jnp.argmax(ext, axis=1)  # (nseg,)
+        keys = jnp.take_along_axis(
+            seg, ax[:, None, None].astype(jnp.int32), axis=2
+        )[:, :, 0]  # (nseg, m)
+        idx = jnp.argsort(keys, axis=1)
+        pts = jnp.take_along_axis(seg, idx[:, :, None], axis=1).reshape(
+            n, dim
+        )
+        order = jnp.take_along_axis(
+            order.reshape(nseg, m), idx, axis=1
+        ).reshape(n)
+    return order
+
+
 @functools.partial(jax.jit, static_argnames=("bits",))
 def hilbert_codes(points: jax.Array, bits: int) -> jax.Array:
     """Hilbert curve codes of points, ``bits`` bits per axis (device)."""
@@ -687,36 +728,54 @@ class PallasFloodEngine:
         # clouds reuse compiled kernels (the cold-compile cliff fix).
         n_chunks = 1 << max(0, (total // self.wchunk) - 1).bit_length()
         total = n_chunks * self.wchunk
-        # Hilbert witness ordering. A balanced k-d alternative
-        # (segmented median splits; ~1.6x tighter sub-chunk boxes by
-        # volume) was measured against it on hardware (sweep 2026-08-18):
-        # +0.04 s at the 1M headline, under its 0.1 s adoption
-        # threshold, so the simpler curve order ships alone.
-        codes = hilbert_codes(points, bits) if dim > 1 else morton_codes(
-            points, bits
-        )
-        order = jnp.argsort(codes)
-        pts_sorted = points[order]
-        if total != n:
-            # The last partial chunk is padded by repeating the last
-            # witness (keeps its bounding box tight; duplicates are
-            # harmless under min). Whole bucket-padding chunks are
-            # filled with a far-away coordinate so they intersect no
-            # ball and never enter the work-list.
-            n_tail = _round_up(n, self.wchunk) - n
-            parts = [pts_sorted]
-            if n_tail:
-                parts.append(jnp.repeat(pts_sorted[-1:], n_tail, axis=0))
-            n_far = total - n - n_tail
-            if n_far:
-                # NOTE: must differ from the simplex-padding coordinate
-                # (+8e14): padded simplices are zero-radius balls AT
-                # their own coordinate, so a far-chunk at the same spot
-                # would self-admit and burn full tile loops on garbage.
-                parts.append(
-                    jnp.full((n_far, dim), -8.0e14, dtype=points.dtype)
-                )
-            pts_sorted = jnp.concatenate(parts, axis=0)
+        # Witness ordering. Hilbert is the shipped default; the balanced
+        # k-d alternative (segmented median splits; ~1.6x tighter
+        # sub-chunk boxes by volume) measured sub-baseline at sha 5f087e2
+        # (vs_baseline 0.9642/0.9986, tpu_runs/sweep_r04.jsonl) and is
+        # kept behind FLOODER_WITNESS_ORDER=kd for the at-HEAD decision
+        # sweep (round-4 verdict item 2).
+        if _os.environ.get("FLOODER_WITNESS_ORDER") == "kd":
+            # Pad to the bucketed total BEFORE ordering by repeating real
+            # points (cyclic): duplicates are idempotent under min and
+            # keep every leaf box tight (far-sentinel rows would blow up
+            # the boxes of the leaves they land in).
+            pts_padded = points
+            if total != n:
+                reps = jnp.tile(points, (-(-total // n), 1))[: total - n]
+                pts_padded = jnp.concatenate([points, reps], axis=0)
+            order = kd_order_device(pts_padded, leaf=SUB)
+            pts_sorted = pts_padded[order]
+        else:
+            codes = hilbert_codes(points, bits) if dim > 1 else morton_codes(
+                points, bits
+            )
+            order = jnp.argsort(codes)
+            pts_sorted = points[order]
+            if total != n:
+                # The last partial chunk is padded by repeating the last
+                # witness (keeps its bounding box tight; duplicates are
+                # harmless under min). Whole bucket-padding chunks are
+                # filled with a far-away coordinate so they intersect no
+                # ball and never enter the work-list.
+                n_tail = _round_up(n, self.wchunk) - n
+                parts = [pts_sorted]
+                if n_tail:
+                    parts.append(
+                        jnp.repeat(pts_sorted[-1:], n_tail, axis=0)
+                    )
+                n_far = total - n - n_tail
+                if n_far:
+                    # NOTE: must differ from the simplex-padding
+                    # coordinate (+8e14): padded simplices are
+                    # zero-radius balls AT their own coordinate, so a
+                    # far-chunk at the same spot would self-admit and
+                    # burn full tile loops on garbage.
+                    parts.append(
+                        jnp.full(
+                            (n_far, dim), -8.0e14, dtype=points.dtype
+                        )
+                    )
+                pts_sorted = jnp.concatenate(parts, axis=0)
         # Transposed (dim, W) storage: the kernel's HBM buffer layout pads
         # the minor dimension to 128 lanes, so (W, small-d) storage would
         # cost 128/d× its size (20 GB for 40M 2-D points).
