@@ -438,6 +438,59 @@ class SimplexTree:
             out[d] += 1
         return out
 
+    # -- gudhi interop ------------------------------------------------------
+
+    def to_gudhi(self):
+        """Convert to a ``gudhi.SimplexTree`` (requires gudhi).
+
+        The reference returns a gudhi SimplexTree directly
+        (reference core.py:278-288), so its users can hand the result to
+        any gudhi ecosystem function; this escape hatch restores that
+        drop-in workflow. Inserting in increasing dimension order
+        preserves every filtration value exactly: gudhi's ``insert``
+        keeps the existing value of already-present faces, and all faces
+        are present here by construction.
+        """
+        import gudhi  # hard dep of this method only
+
+        self._flush()
+        gst = gudhi.SimplexTree()
+        for d, (v, f) in enumerate(zip(self._verts, self._filt)):
+            if v.shape[0] == 0:
+                continue
+            if hasattr(gst, "insert_batch"):
+                # (dim+1, n) vertex layout per gudhi's batch API
+                gst.insert_batch(
+                    np.ascontiguousarray(v.T, dtype=np.int32),
+                    np.ascontiguousarray(f, dtype=np.float64),
+                )
+            else:  # pragma: no cover - gudhi < 3.5
+                for row, val in zip(v.tolist(), f.tolist()):
+                    gst.insert(row, float(val))
+        return gst
+
+    @classmethod
+    def from_gudhi(cls, gst) -> "SimplexTree":
+        """Build from a ``gudhi.SimplexTree`` (values copied verbatim)."""
+        verts: Dict[int, List[Tuple[int, ...]]] = {}
+        filts: Dict[int, List[float]] = {}
+        for simplex, filt in gst.get_simplices():
+            d = len(simplex) - 1
+            verts.setdefault(d, []).append(tuple(simplex))
+            filts.setdefault(d, []).append(float(filt))
+        if not verts:
+            return cls()
+        max_d = max(verts)
+        cols_v = [
+            np.asarray(verts.get(d, []), dtype=np.int32).reshape(-1, d + 1)
+            for d in range(max_d + 1)
+        ]
+        cols_f = [
+            np.asarray(filts.get(d, []), dtype=np.float64)
+            for d in range(max_d + 1)
+        ]
+        return cls.from_columns(cols_v, cols_f)
+
     def __repr__(self):
         self._flush()
         sizes = ", ".join(

@@ -158,3 +158,63 @@ def test_gudhi_flood_oracle():
         ours = st.persistence_intervals_in_dimension(dim)
         theirs = gst.persistence_intervals_in_dimension(dim)
         assert bottleneck_distance(ours, theirs) < 5e-4
+
+
+@pytest.mark.skipif(not HAS_GUDHI, reason="gudhi not installed")
+def test_gudhi_roundtrip():
+    """to_gudhi/from_gudhi preserve every simplex and filtration value
+    (the reference's return type IS a gudhi SimplexTree, reference
+    core.py:278-288 — this is the drop-in escape hatch)."""
+    pts = generate_noisy_torus_points_3d(800, seed=3)
+    st = flood_complex(
+        np.asarray(pts), 60, points_per_edge=6, return_simplex_tree=True
+    )
+    gst = st.to_gudhi()
+    assert gst.num_simplices() == st.num_simplices()
+    for simplex, filt in st.get_filtration():
+        assert gst.filtration(list(simplex)) == pytest.approx(
+            filt, abs=1e-12
+        )
+    from flooder_tpu.topology import SimplexTree, bottleneck_distance
+
+    back = SimplexTree.from_gudhi(gst)
+    assert back.num_simplices() == st.num_simplices()
+    st.compute_persistence()
+    back.compute_persistence()
+    gst.compute_persistence()
+    for dim in (0, 1, 2):
+        ours = st.persistence_intervals_in_dimension(dim)
+        theirs = np.asarray(
+            gst.persistence_intervals_in_dimension(dim)
+        ).reshape(-1, 2)
+        again = back.persistence_intervals_in_dimension(dim)
+        assert bottleneck_distance(ours, theirs) < 1e-9
+        assert bottleneck_distance(ours, again) < 1e-9
+
+
+def test_from_gudhi_duck_typed():
+    """from_gudhi needs only get_simplices(); exercise the conversion in
+    this gudhi-free environment with a duck-typed stand-in, round-tripped
+    from a real flood complex via get_filtration (same (simplex, value)
+    iteration contract as gudhi's get_simplices)."""
+    from flooder_tpu.topology import SimplexTree
+
+    pts = generate_noisy_torus_points_3d(500, seed=5)
+    st = flood_complex(
+        np.asarray(pts), 40, points_per_edge=5, return_simplex_tree=True
+    )
+
+    class _FakeGudhiTree:
+        def get_simplices(self):
+            yield from st.get_filtration()
+
+    back = SimplexTree.from_gudhi(_FakeGudhiTree())
+    assert back.num_simplices() == st.num_simplices()
+    for simplex, filt in st.get_filtration():
+        assert back.filtration(simplex) == filt
+    st.compute_persistence()
+    back.compute_persistence()
+    for dim in (0, 1):
+        a = st.persistence_intervals_in_dimension(dim)
+        b = back.persistence_intervals_in_dimension(dim)
+        assert np.allclose(np.sort(a, axis=0), np.sort(b, axis=0))
