@@ -39,10 +39,26 @@ def _device_bytes_in_use(device: Optional[jax.Device]) -> Optional[int]:
     try:
         stats = device.memory_stats()
     except Exception:
+        stats = None
+    if stats:
+        return stats.get("peak_bytes_in_use", stats.get("bytes_in_use"))
+    # Fallback for platforms whose runtime exposes no allocator stats
+    # (the axon TPU tunnel returns an empty dict): account the live
+    # arrays resident on this device. This is bytes-in-use at call time
+    # — a lower bound on the step's true peak — which still fills the
+    # reference's populated "Device peak (MiB)" column (ref
+    # cli.py:117-119) with a real number instead of a dash.
+    try:
+        total = 0
+        for arr in jax.live_arrays():
+            try:
+                if device in arr.devices():
+                    total += arr.nbytes // len(arr.devices())
+            except Exception:
+                continue
+        return total
+    except Exception:
         return None
-    if not stats:
-        return None
-    return stats.get("peak_bytes_in_use", stats.get("bytes_in_use"))
 
 
 class StepTimer:
@@ -96,6 +112,10 @@ class StepTimer:
                 ram_delta_mib = None
 
         dev_after = _device_bytes_in_use(self.device)
+        # under the live-array fallback each probe is instantaneous
+        # in-use, not a running peak: keep the larger endpoint
+        if dev_after is not None and self._dev_before is not None:
+            dev_after = max(dev_after, self._dev_before)
         device_peak_mib = dev_after / (1024**2) if dev_after is not None else None
 
         self.stats = StepStats(
