@@ -261,12 +261,15 @@ def _flood_kernel(
 
     # Admission for ALL (simplex, sub-chunk) combinations in one
     # vectorized pass. The scalar formulation (bs*nsub serialized
-    # iterations of (1, dim) ops) was measured on hardware at 11.4 us of
-    # pure overhead PER GRID STEP — 0.46 s of the 1.10 s kernel time at
-    # the 1M x 1k headline (tpu_runs/kstats_1m1k.json) — because every
-    # tiny op still issues as a full-width VPU instruction. Batched over
-    # (BS, NSUB) the same tests are ~a dozen instructions total; the
-    # loop below degenerates to scalar bit reads.
+    # iterations of (1, dim) ops) was measured on hardware at ~11.4 us
+    # of overhead PER GRID STEP — 0.46 s of the 1.10 s kernel time at
+    # the 1M x 1k headline (tpu_runs/kstats_1m1k.json; an UPPER bound:
+    # the zeroed-radius probe still admits sub-chunks whose bbox
+    # contains a ball center, leaking some tile compute into it) —
+    # because every tiny op still issues as a full-width VPU
+    # instruction. Batched over (BS, NSUB) the same tests are ~a dozen
+    # instructions total; the loop below degenerates to scalar bit
+    # reads.
     ysub = y_all.reshape(nsub, sub, dim)
     box_lo_all = jnp.min(ysub, axis=1)  # (NSUB, dim)
     box_hi_all = jnp.max(ysub, axis=1)  # (NSUB, dim)

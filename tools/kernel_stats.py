@@ -61,9 +61,15 @@ def _flood_kernel_stats(
     tile_ok_ref,
     *, bs: int, dim: int, nsub: int, sub: int,
 ):
-    """Instrumented clone of pf._flood_kernel — identical compute, plus
-    counter accumulation. Keep the compute path in lockstep with the
-    production kernel (parity is asserted by run_with_stats)."""
+    """Instrumented clone of pf._flood_kernel: same VALUES (parity is
+    asserted by run_with_stats), plus counter accumulation.
+
+    NOTE: the clone deliberately snapshots the pre-940ad62 SCALAR
+    admission loop — the production kernel since vectorizes admission
+    over (BS, NSUB) — so its seg_times_s measure the old formulation's
+    overhead, not production's. Counters and output values are
+    formulation-independent; use tools/launch_overhead.py or bench.py
+    for production timings."""
     p = pl.program_id(0)
 
     @pl.when(pair_first_ref[p] == 1)
@@ -284,10 +290,15 @@ def run_with_stats(scene):
 
 def time_overhead(scene):
     """Time the PRODUCTION kernel on the real pair list with all radii
-    zeroed: no (simplex, sub-chunk) admission ever fires, so the measured
-    time is the pure per-grid-step overhead (DMA + the per-pair fixed
-    vector ops + the bs*nsub admission iterations), isolating it from
-    tile compute. Returns per-segment seconds."""
+    zeroed, approximating the per-grid-step overhead (DMA + the per-pair
+    fixed vector ops + the bs*nsub admission iterations) isolated from
+    tile compute. Returns per-segment seconds.
+
+    CAVEAT: admission tests near_d2 <= r2, and a ball center lying
+    INSIDE a sub-chunk bbox gives near_d2 == 0, which fires even at
+    radius 1e-12 — so some tile compute leaks into this measurement.
+    Any number derived from it (e.g. the 11.4 us/step figure in
+    pallas_flood.py) is an UPPER bound on pure overhead."""
     engine = scene.engine
     active, pairdist = jax.device_get((scene.active_d, scene.pairdist_d))
     pair_s_np, pair_c_np = np.nonzero(active)
@@ -355,10 +366,6 @@ def main():
     )
     seg_times, counters, parity = run_with_stats(scene)
     overhead_times = time_overhead(scene) if args.overhead else None
-    static_tiles = None
-    # static admission for context: every tile of every admitted pair
-    # whose static (gap2 <= min(ub2)) test passes — the number the
-    # work-volume model calls admitted_tile_units_static.
     rec = {
         "points": args.points,
         "landmarks": args.landmarks,
@@ -374,7 +381,6 @@ def main():
             else None
         ),
         "parity_vs_production": parity,
-        "static_tile_units": static_tiles,
         **counters,
     }
     print(json.dumps(rec))
