@@ -86,8 +86,8 @@ def test_cli_winner_env_mode(tmp_path):
 
 
 def test_decision_rules(tmp_path, capsys):
-    """kd adopts AT the 0.1 s threshold; zero-rule flags need a strict
-    win; stale rows are discarded loudly."""
+    """Every flag (kd included, per the round-4 verdict) needs a strict
+    win to ship; stale rows are discarded loudly."""
     from tools.sweep_decide import main
 
     sha = _head_sha()
@@ -95,8 +95,8 @@ def test_decision_rules(tmp_path, capsys):
         tmp_path,
         [
             {"value": 1.50, "env": "", "sha": sha, "vs_baseline": 1.07},
-            {"value": 1.40, "env": "FLOODER_WITNESS_ORDER=kd", "sha": sha,
-             "vs_baseline": 1.0},
+            {"value": 1.46, "env": "FLOODER_WITNESS_ORDER=kd", "sha": sha,
+             "vs_baseline": 1.04},
             {"value": 1.50, "env": "FLOODER_PALLAS_MXU=1", "sha": sha,
              "vs_baseline": 1.07},
             {"value": 0.2, "env": "FLOODER_PALLAS_MXU=1", "sha": "old"},
@@ -104,7 +104,8 @@ def test_decision_rules(tmp_path, capsys):
     )
     main(p)
     out = capsys.readouterr()
-    assert "FLOODER_WITNESS_ORDER=kd     +0.1000 s  -> ADOPT" in out.out
+    # a sub-0.1s margin now adopts (strict win is enough)
+    assert "FLOODER_WITNESS_ORDER=kd     +0.0400 s  -> ADOPT" in out.out
     # MXU's margin is against best-without (the kd row), so it must lose;
     # match the margin line specifically (the ranking table also contains
     # the flag string)

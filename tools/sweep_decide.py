@@ -5,8 +5,10 @@ Reads the sweep JSONL produced by ``tools/tpu_session.sh phase3`` (one
 bench JSON per tried env combination) and applies the decision rules
 fixed in round 3's STATUS pickup list:
 
-- ``FLOODER_WITNESS_ORDER=kd`` becomes the default iff it wins >= 0.1 s
-  over the Hilbert baseline (alone or inside the winning combo).
+- ``FLOODER_WITNESS_ORDER=kd`` becomes the default iff it strictly wins
+  over the Hilbert baseline (round-4 verdict item 2 superseded round 3's
+  0.1 s adoption threshold: kd's 0.04 s margin *was* the distance
+  between vs_baseline 1.017 and <1.0 — adopt the median winner).
 - ``FLOODER_PALLAS_MXU=1`` becomes the default iff it wins AND the
   full-size oracle tier passes on hardware under the flag (the oracle
   gate is printed as a required follow-up, not auto-run here).
@@ -144,7 +146,7 @@ def main(path: str) -> None:
     print("per-flag margins (best-with minus best-without, >0 = helps):")
     decisions = []
     for flag, rule in [
-        ("FLOODER_WITNESS_ORDER=kd", 0.1),
+        ("FLOODER_WITNESS_ORDER=kd", 0.0),
         ("FLOODER_PALLAS_MXU=1", 0.0),
         ("FLOODER_PALLAS_PHASES=2", 0.0),
         ("FLOODER_PALLAS_SUB=256", 0.0),
