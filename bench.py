@@ -36,11 +36,20 @@ def run(
 
     from flooder_tpu import flood_complex, generate_swiss_cheese_points
 
+    def mark(msg):
+        # timestamped stage markers: the tunnel's connect latency varies
+        # from seconds to many minutes, and an opaque subprocess makes a
+        # slow connect indistinguishable from a wedged measurement
+        print(f"# [{time.strftime('%H:%M:%S')}] {msg}",
+              file=sys.stderr, flush=True)
+
     backend = jax.default_backend()
+    mark(f"backend={backend} devices connected")
     pts, _, _ = generate_swiss_cheese_points(
         n_points, k=6, seed=42, device=backend
     )
     pts.block_until_ready()
+    mark("data generated")
 
     if warmup:
         # compile-warm with the FULL shapes (kernel compile keys include
@@ -61,6 +70,7 @@ def run(
         else:
             st = flood_complex(pts, n_landmarks, return_simplex_tree=True)
         st.compute_persistence()
+        mark("warmup done")
 
     times = []
     for _ in range(reps):
@@ -92,6 +102,7 @@ def run(
                 stree.persistence_intervals_in_dimension(i) for i in range(3)
             ]
         times.append(time.perf_counter() - t0)
+        mark(f"rep done: {times[-1]:.3f}s")
     return float(np.median(times)), times
 
 
@@ -195,32 +206,62 @@ def _measure_in_subprocess(argv_tail, timeout_s: int) -> bool:
 
     Isolation means a mid-run device wedge costs one bounded subprocess,
     not the caller; the parent can then wait out the tunnel's cleanup
-    window and retry once.
+    window and retry once. The child's stderr streams through LIVE (its
+    timestamped stage markers distinguish a slow tunnel connect from a
+    wedged measurement); stdout is collected because the parent must
+    re-emit the one JSON line the driver parses. On deadline the child
+    gets SIGINT and a grace period first — a SIGKILLed client mid-device-
+    program is exactly what wedges the tunnel for the next ~5 minutes
+    (round-2 outage; tpu_runs/session_20260818_155441_phase4.log).
     """
     import os
+    import signal
     import subprocess
 
     cmd = [sys.executable, os.path.abspath(__file__), "--_direct"]
     cmd += argv_tail
+    proc = subprocess.Popen(cmd, text=True, stdout=subprocess.PIPE,
+                            stderr=None)
+
+    # If an outer bound (timeout(1) in tools/tpu_session.sh, the driver)
+    # TERMs this parent, the measurement child must not be orphaned
+    # still holding the device — that is a guaranteed tunnel wedge.
+    # Forward a graceful SIGINT, give it a moment, then exit.
+    def _terminate(signum, frame):
+        print("bench: parent received SIGTERM; SIGINT-ing the "
+              "measurement child", file=sys.stderr, flush=True)
+        try:
+            proc.send_signal(signal.SIGINT)
+            proc.wait(timeout=60)
+        except Exception:
+            proc.kill()
+        sys.exit(124)
+
+    prev_term = signal.signal(signal.SIGTERM, _terminate)
     try:
-        res = subprocess.run(cmd, timeout=timeout_s, text=True,
-                             capture_output=True)
-    except subprocess.TimeoutExpired as e:
-        for stream in (e.stdout, e.stderr):
-            if stream:
-                txt = (stream.decode() if isinstance(stream, bytes)
-                       else stream)
-                print(txt, end="", file=sys.stderr)
-        print(f"bench: measurement subprocess timed out ({timeout_s}s)",
-              file=sys.stderr)
-        return False
-    # re-emit the child's streams on the parent's (stdout carries the
-    # one JSON line the driver parses)
-    if res.stdout:
-        print(res.stdout, end="", flush=True)
-    if res.stderr:
-        print(res.stderr, end="", file=sys.stderr)
-    return res.returncode == 0 and '"value"' in (res.stdout or "")
+        try:
+            stdout, _ = proc.communicate(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            print(f"bench: measurement subprocess deadline ({timeout_s}s); "
+                  "sending SIGINT and granting 90s to unwind",
+                  file=sys.stderr, flush=True)
+            proc.send_signal(signal.SIGINT)
+            try:
+                stdout, _ = proc.communicate(timeout=90)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                stdout, _ = proc.communicate()
+            if stdout:
+                print(stdout, end="", flush=True)
+            print("bench: measurement subprocess timed out",
+                  file=sys.stderr)
+            return False
+    finally:
+        signal.signal(signal.SIGTERM, prev_term)
+    # re-emit the child's stdout (carries the JSON line the driver parses)
+    if stdout:
+        print(stdout, end="", flush=True)
+    return proc.returncode == 0 and '"value"' in (stdout or "")
 
 
 def main():
@@ -247,7 +288,7 @@ def main():
     ap.add_argument(
         "--timeout",
         type=int,
-        default=int(os.environ.get("FLOODER_BENCH_TIMEOUT", 900)),
+        default=int(os.environ.get("FLOODER_BENCH_TIMEOUT", 1800)),
         help="per-attempt measurement subprocess timeout (s)",
     )
     args = ap.parse_args()
