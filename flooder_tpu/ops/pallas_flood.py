@@ -41,8 +41,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Block geometry: BS simplices per block, RT sample points per tile (lanes),
 # WCHUNK witnesses per DMA chunk processed in SUB-point sub-chunks.
-# Env overrides exist for benchmarking experiments.
-import os as _os
 
 # Fixed block geometry (the analogue of the reference's one tuned
 # Triton geometry, ref core.py:26-29), frozen after the 2026-08-18
@@ -157,11 +155,11 @@ def kd_order_device(points: jax.Array, leaf: int) -> jax.Array:
     ``leaf``-runs of the result partition space with disjoint boxes
     (~1.6x tighter than Hilbert runs by volume).
 
-    Restored for an at-HEAD hardware sweep: at sha 5f087e2 this ordering
-    measured 1.3499/1.3980 s (vs_baseline 0.9642/0.9986) against the
-    Hilbert default's 1.3878 at the 1M headline (tpu_runs/sweep_r04.jsonl)
-    and was deleted on a +0.04 s margin; that margin is the distance
-    between 1.017 and <1.0, so it must be re-decided at HEAD.
+    The shipped witness ordering since the round-5 decision sweep: it
+    beat Hilbert ordering in both hardware sessions that measured the
+    pair head-to-head (vs_baseline 0.9642/0.9986 vs 0.9913 at 5f087e2,
+    tpu_runs/sweep_r04.jsonl; 0.975 vs 1.016 with 5 reps each at
+    17fb1cc, tpu_runs/sweep_r05.jsonl).
     """
     n, dim = points.shape
     levels = max(0, (n // leaf - 1).bit_length())
@@ -731,54 +729,25 @@ class PallasFloodEngine:
         # clouds reuse compiled kernels (the cold-compile cliff fix).
         n_chunks = 1 << max(0, (total // self.wchunk) - 1).bit_length()
         total = n_chunks * self.wchunk
-        # Witness ordering. Hilbert is the shipped default; the balanced
-        # k-d alternative (segmented median splits; ~1.6x tighter
-        # sub-chunk boxes by volume) measured sub-baseline at sha 5f087e2
-        # (vs_baseline 0.9642/0.9986, tpu_runs/sweep_r04.jsonl) and is
-        # kept behind FLOODER_WITNESS_ORDER=kd for the at-HEAD decision
-        # sweep (round-4 verdict item 2).
-        if _os.environ.get("FLOODER_WITNESS_ORDER") == "kd":
-            # Pad to the bucketed total BEFORE ordering by repeating real
-            # points (cyclic): duplicates are idempotent under min and
-            # keep every leaf box tight (far-sentinel rows would blow up
-            # the boxes of the leaves they land in).
-            pts_padded = points
-            if total != n:
-                reps = jnp.tile(points, (-(-total // n), 1))[: total - n]
-                pts_padded = jnp.concatenate([points, reps], axis=0)
-            order = kd_order_device(pts_padded, leaf=SUB)
-            pts_sorted = pts_padded[order]
-        else:
-            codes = hilbert_codes(points, bits) if dim > 1 else morton_codes(
-                points, bits
-            )
-            order = jnp.argsort(codes)
-            pts_sorted = points[order]
-            if total != n:
-                # The last partial chunk is padded by repeating the last
-                # witness (keeps its bounding box tight; duplicates are
-                # harmless under min). Whole bucket-padding chunks are
-                # filled with a far-away coordinate so they intersect no
-                # ball and never enter the work-list.
-                n_tail = _round_up(n, self.wchunk) - n
-                parts = [pts_sorted]
-                if n_tail:
-                    parts.append(
-                        jnp.repeat(pts_sorted[-1:], n_tail, axis=0)
-                    )
-                n_far = total - n - n_tail
-                if n_far:
-                    # NOTE: must differ from the simplex-padding
-                    # coordinate (+8e14): padded simplices are
-                    # zero-radius balls AT their own coordinate, so a
-                    # far-chunk at the same spot would self-admit and
-                    # burn full tile loops on garbage.
-                    parts.append(
-                        jnp.full(
-                            (n_far, dim), -8.0e14, dtype=points.dtype
-                        )
-                    )
-                pts_sorted = jnp.concatenate(parts, axis=0)
+        # Witness ordering: balanced k-d (segmented median splits; ~1.6x
+        # tighter sub-chunk boxes by volume than Hilbert runs). Decided by
+        # two hardware sweeps at the 1M x 1k headline: vs_baseline
+        # 0.9642/0.9986 vs Hilbert's 0.9913 at sha 5f087e2
+        # (tpu_runs/sweep_r04.jsonl) and 0.975 vs 1.016 at HEAD 17fb1cc
+        # with 5 reps each in one session (tpu_runs/sweep_r05.jsonl);
+        # the Hilbert witness path was deleted per the adopt-the-winner
+        # rule (samples and simplex centers still order by Hilbert).
+        #
+        # Pad to the bucketed total BEFORE ordering by repeating real
+        # points (cyclic): duplicates are idempotent under min and
+        # keep every leaf box tight (far-sentinel rows would blow up
+        # the boxes of the leaves they land in).
+        pts_padded = points
+        if total != n:
+            reps = jnp.tile(points, (-(-total // n), 1))[: total - n]
+            pts_padded = jnp.concatenate([points, reps], axis=0)
+        order = kd_order_device(pts_padded, leaf=SUB)
+        pts_sorted = pts_padded[order]
         # Transposed (dim, W) storage: the kernel's HBM buffer layout pads
         # the minor dimension to 128 lanes, so (W, small-d) storage would
         # cost 128/d× its size (20 GB for 40M 2-D points).

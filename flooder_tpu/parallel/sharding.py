@@ -201,12 +201,6 @@ class MeshPallasFloodEngine:
         self.dim = dim
         bits = max(1, min(10, pf.MORTON_BITS_TOTAL // dim))
         self._bits = bits
-        codes = (
-            pf.hilbert_codes(points, bits)
-            if dim > 1
-            else pf.morton_codes(points, bits)
-        )
-        pts_sorted = points[jnp.argsort(codes)]
         n_ws = mesh.shape[WITNESS_AXIS]
         # Per-shard chunk count bucketed to a power of two (the local
         # witness shape is a kernel compile key, exactly as single-chip).
@@ -214,20 +208,17 @@ class MeshPallasFloodEngine:
         n_chunks_l = 1 << max(0, per_shard - 1).bit_length()
         self.n_chunks_l = n_chunks_l
         total = n_ws * n_chunks_l * self.wchunk
+        # Witness ordering: the same balanced k-d ordering the single-chip
+        # engine ships (hardware-decided, tpu_runs/sweep_r0{4,5}.jsonl).
+        # Cyclic pre-padding replaces far-fill chunks: duplicates are
+        # idempotent under the min-fold and land inside tight leaves,
+        # whereas far sentinels would blow up their leaf boxes.
+        pts_padded = points
         if total != n:
-            n_tail = min(total - n, _round_up(n, self.wchunk) - n)
-            parts = [pts_sorted]
-            if n_tail:
-                parts.append(jnp.repeat(pts_sorted[-1:], n_tail, axis=0))
-            n_far = total - n - n_tail
-            if n_far:
-                # far-away fill chunks intersect no ball → no pairs (the
-                # coordinate differs from the simplex-padding +8e14; see
-                # PallasFloodEngine)
-                parts.append(
-                    jnp.full((n_far, dim), -8.0e14, dtype=points.dtype)
-                )
-            pts_sorted = jnp.concatenate(parts, axis=0)
+            reps = jnp.tile(points, (-(-total // n), 1))[: total - n]
+            pts_padded = jnp.concatenate([points, reps], axis=0)
+        order = pf.kd_order_device(pts_padded, leaf=pf.SUB)
+        pts_sorted = pts_padded[order]
         chunks = pts_sorted.reshape(n_ws * n_chunks_l, self.wchunk, dim)
         self.chunk_lo = jnp.min(chunks, axis=1)
         self.chunk_hi = jnp.max(chunks, axis=1)

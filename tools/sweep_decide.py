@@ -9,6 +9,9 @@ fixed in round 3's STATUS pickup list:
   over the Hilbert baseline (round-4 verdict item 2 superseded round 3's
   0.1 s adoption threshold: kd's 0.04 s margin *was* the distance
   between vs_baseline 1.017 and <1.0 — adopt the median winner).
+  DECIDED 2026-08-19: kd won 1.3647 s (0.975) vs 1.4229 (1.016) with
+  5 reps each in one session (tpu_runs/sweep_r05.jsonl) and is now the
+  engine's unconditional ordering; the knob no longer exists.
 - ``FLOODER_PALLAS_MXU=1`` becomes the default iff it wins AND the
   full-size oracle tier passes on hardware under the flag (the oracle
   gate is printed as a required follow-up, not auto-run here).

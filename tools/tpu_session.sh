@@ -51,12 +51,15 @@ r5quick() {
 }
 
 r5sweep() {
-  # kd witness ordering vs the shipped Hilbert default, >=5 reps each at
-  # HEAD (round-4 verdict item 2: kd measured vs_baseline 0.9642/0.9986
-  # at 5f087e2 and was deleted on a +0.04 s margin).
+  # DECIDED 2026-08-19 (tpu_runs/sweep_r05.jsonl, session ..._073919):
+  # kd witness ordering 1.3647 s (vs_baseline 0.975) beat Hilbert's
+  # 1.4229 (1.016) with 5 reps each in one session; kd is now the
+  # unconditional default and the env knob is gone. This phase remains
+  # as a confirmation bench: it re-measures the shipped default and
+  # appends a sha-stamped row.
   SWEEP=tpu_runs/sweep_r05.jsonl
   probe "sweep-start" || exit 1
-  for v in "" "FLOODER_WITNESS_ORDER=kd"; do
+  for v in ""; do
     echo "== bench sweep: [$v] =="
     out=$(env $v FLOODER_BENCH_REPS=5 timeout 2400 python bench.py)
     echo "$out"
