@@ -39,6 +39,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils.stagetimer import fence, note, stage
+
 # Block geometry: BS simplices per block, RT sample points per tile (lanes),
 # WCHUNK witnesses per DMA chunk processed in SUB-point sub-chunks.
 
@@ -160,28 +162,91 @@ def kd_order_device(points: jax.Array, leaf: int) -> jax.Array:
     pair head-to-head (vs_baseline 0.9642/0.9986 vs 0.9913 at 5f087e2,
     tpu_runs/sweep_r04.jsonl; 0.975 vs 1.016 with 5 reps each at
     17fb1cc, tpu_runs/sweep_r05.jsonl).
+
+    Implementation note: the level loop is a ``fori_loop`` with a
+    shape-invariant body, NOT a Python loop. An unrolled trace compiles
+    one full-array sort per level into a single program — 17 levels at
+    the 40M configuration produced a 50 MB compiled binary and minutes
+    of compile time per new cloud size (the dominant cost of the r5
+    scale-tier cold runs, tpu_runs/session_20260819_081004_r5scale.log).
+    The rolled body makes compile time independent of the level count
+    while producing the IDENTICAL permutation: segment extents reduce
+    over static ``leaf``-run boxes (segment boundaries are always leaf
+    boundaries), and the per-segment stable argsort becomes one stable
+    two-key sort (segment id, chosen coordinate).
+
+    Two formulation decisions, both hardware-measured (2026-08-19, v5e,
+    16.8M x 3):
+
+    - Payloads ride THROUGH the sort (variadic operands) instead of
+      sorting ``(seg, key, iota)`` and gathering afterwards: 4.11 s/call
+      vs 17.2 s — large-N random gathers cost far more than extra sort
+      operands. A 64-bit composite single-key variant measured the same
+      17.1 s for the same reason.
+    - The coordinates are carried as ``dim`` separate 1-D arrays: a
+      loop-carried (n, d) matrix is forced into an (8,128)-tiled layout
+      whose minor-dim padding is a 128/d× blowup (32 GiB at 40M 2-D — a
+      compile-time OOM).
+
+    Residual cold cost: the one variadic sort dominates AOT compile at
+    ~2 min per power-of-two cloud-size bucket (the sort codegen, not
+    this function's structure: a minimal 2-operand sort alone compiles
+    in 41 s on this backend). The persistent compilation cache makes it
+    once-per-machine per bucket.
     """
     n, dim = points.shape
     levels = max(0, (n // leaf - 1).bit_length())
-    order = jnp.arange(n, dtype=jnp.int32)
-    pts = points
-    for lvl in range(levels):
-        nseg = 1 << lvl
-        m = n // nseg
-        seg = pts.reshape(nseg, m, dim)
-        ext = jnp.max(seg, axis=1) - jnp.min(seg, axis=1)  # (nseg, dim)
-        ax = jnp.argmax(ext, axis=1)  # (nseg,)
-        keys = jnp.take_along_axis(
-            seg, ax[:, None, None].astype(jnp.int32), axis=2
-        )[:, :, 0]  # (nseg, m)
-        idx = jnp.argsort(keys, axis=1)
-        pts = jnp.take_along_axis(seg, idx[:, :, None], axis=1).reshape(
-            n, dim
+    order0 = jnp.arange(n, dtype=jnp.int32)
+    if levels == 0:
+        return order0
+    nl = n // leaf  # leaf count (power of two by the padding contract)
+
+    def body(lvl, carry):
+        # The point set is carried as ``dim`` separate 1-D coordinate
+        # arrays, NOT an (n, dim) matrix: a loop-carried (n, small-d)
+        # buffer gets a (8,128)-tiled device layout whose minor-dim
+        # padding is a 128/d× memory blowup — 32 GiB for the 40M 2-D
+        # configuration, a hard OOM at compile time.
+        order = carry[0]
+        cols = carry[1:]
+        nseg = jnp.left_shift(jnp.int32(1), lvl)
+        lps = jnp.int32(nl) // nseg  # leaves per segment
+        m = jnp.int32(n) // nseg  # points per segment
+        # Segment min/max via the static leaf decomposition: a segment is
+        # a contiguous run of leaves, so its box is the fold of leaf boxes.
+        leaf_min = jnp.stack(
+            [jnp.min(c.reshape(nl, leaf), axis=1) for c in cols], axis=1
+        )  # (nl, dim)
+        leaf_max = jnp.stack(
+            [jnp.max(c.reshape(nl, leaf), axis=1) for c in cols], axis=1
         )
-        order = jnp.take_along_axis(
-            order.reshape(nseg, m), idx, axis=1
-        ).reshape(n)
-    return order
+        seg_of_leaf = jnp.arange(nl, dtype=jnp.int32) // lps
+        seg_min = jnp.full((nl, dim), jnp.inf, cols[0].dtype).at[
+            seg_of_leaf
+        ].min(leaf_min)
+        seg_max = jnp.full((nl, dim), -jnp.inf, cols[0].dtype).at[
+            seg_of_leaf
+        ].max(leaf_max)
+        ax = jnp.argmax(seg_max - seg_min, axis=1).astype(jnp.int32)
+        seg_of_pt = jnp.arange(n, dtype=jnp.int32) // m
+        axis_pp = ax[seg_of_pt]  # (n,) split axis per point
+        key = cols[0]
+        for j in range(1, dim):
+            key = jnp.where(axis_pp == j, cols[j], key)
+        sorted_ops = jax.lax.sort(
+            (seg_of_pt, key, order) + cols,
+            num_keys=2,
+            is_stable=True,
+        )
+        return (sorted_ops[2],) + sorted_ops[3:]
+
+    out = jax.lax.fori_loop(
+        0,
+        levels,
+        body,
+        (order0,) + tuple(points[:, j] for j in range(dim)),
+    )
+    return out[0]
 
 
 @functools.partial(jax.jit, static_argnames=("bits",))
@@ -746,16 +811,21 @@ class PallasFloodEngine:
         if total != n:
             reps = jnp.tile(points, (-(-total // n), 1))[: total - n]
             pts_padded = jnp.concatenate([points, reps], axis=0)
-        order = kd_order_device(pts_padded, leaf=SUB)
-        pts_sorted = pts_padded[order]
-        # Transposed (dim, W) storage: the kernel's HBM buffer layout pads
-        # the minor dimension to 128 lanes, so (W, small-d) storage would
-        # cost 128/d× its size (20 GB for 40M 2-D points).
-        self.witnesses = jnp.transpose(pts_sorted)
-        self._bits = bits
-        chunks = pts_sorted.reshape(n_chunks, self.wchunk, dim)
-        self.chunk_lo = jnp.min(chunks, axis=1)
-        self.chunk_hi = jnp.max(chunks, axis=1)
+        with stage("engine-init:kd-order"):
+            order = kd_order_device(pts_padded, leaf=SUB)
+            fence(order)
+        with stage("engine-init:permute+boxes"):
+            pts_sorted = pts_padded[order]
+            # Transposed (dim, W) storage: the kernel's HBM buffer layout
+            # pads the minor dimension to 128 lanes, so (W, small-d)
+            # storage would cost 128/d× its size (20 GB for 40M 2-D
+            # points).
+            self.witnesses = jnp.transpose(pts_sorted)
+            self._bits = bits
+            chunks = pts_sorted.reshape(n_chunks, self.wchunk, dim)
+            self.chunk_lo = jnp.min(chunks, axis=1)
+            self.chunk_hi = jnp.max(chunks, axis=1)
+            fence(self.witnesses, self.chunk_lo, self.chunk_hi)
 
     def order(self, centers: jax.Array) -> np.ndarray:
         return spatial_order_np(centers, self._bits)
@@ -840,18 +910,28 @@ class PallasFloodEngine:
         # distance to the nearest simplex vertex when landmarks ⊆
         # witnesses — provably lossless skipping), and the active-pair
         # matrix — in ONE fused dispatch, then a single host transfer.
-        samples, tile_lo, tile_hi, ub2, active_dev, pairdist_dev = _prep(
-            verts_local, weights_p, centers, radii,
-            self.chunk_lo, self.chunk_hi,
-            bs=BS, nr=nr, rt=rt, tight=tight, wchunk=self.wchunk,
+        with stage("prep:fused-dispatch"):
+            samples, tile_lo, tile_hi, ub2, active_dev, pairdist_dev = _prep(
+                verts_local, weights_p, centers, radii,
+                self.chunk_lo, self.chunk_hi,
+                bs=BS, nr=nr, rt=rt, tight=tight, wchunk=self.wchunk,
+            )
+            active, pairdist = jax.device_get((active_dev, pairdist_dev))
+            fence(samples, tile_lo, tile_hi, ub2)
+        with stage("prep:worklist-host"):
+            pair_s_np, pair_c_np = np.nonzero(active)  # row-major: by s
+            # Within each block, visit chunks nearest-first: the kernel's
+            # adaptive branch-and-bound skip tightens after the closest
+            # chunk.
+            order = np.lexsort((pairdist[pair_s_np, pair_c_np], pair_s_np))
+            pair_s_np = pair_s_np[order].astype(np.int32)
+            pair_c_np = pair_c_np[order].astype(np.int32)
+        note(
+            f"worklist: {len(pair_s_np)} pairs over "
+            f"{active.shape[0]} blocks x {active.shape[1]} chunks "
+            f"({len(pair_s_np) / max(1, active.size):.4%}), "
+            f"nr={nr} rt={rt} s_total={s_total}"
         )
-        active, pairdist = jax.device_get((active_dev, pairdist_dev))
-        pair_s_np, pair_c_np = np.nonzero(active)  # row-major: sorted by s
-        # Within each block, visit chunks nearest-first: the kernel's
-        # adaptive branch-and-bound skip tightens after the closest chunk.
-        order = np.lexsort((pairdist[pair_s_np, pair_c_np], pair_s_np))
-        pair_s_np = pair_s_np[order].astype(np.int32)
-        pair_c_np = pair_c_np[order].astype(np.int32)
 
         radii2 = radii[:, None]
 
@@ -917,7 +997,9 @@ class PallasFloodEngine:
         # +0.24 s SLOWER at the 1M headline (the host round-trip and the
         # second dispatch cost more than the dropped tiles saved), so the
         # mechanism was deleted (tpu_runs/sweep_r04.jsonl).
-        acc = run_pairs(pair_s_np, pair_c_np, acc)
+        with stage("kernel:segments"):
+            acc = run_pairs(pair_s_np, pair_c_np, acc)
+            fence(acc)
         return acc, sperm, num_simplices, s_total, r2_total
 
 

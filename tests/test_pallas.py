@@ -113,3 +113,96 @@ def test_select_pad_pair_reseed_safety():
 
     # no dist given → chunk 0 of the inactive block
     assert select_pad_pair(active) == (2, 0)
+
+
+def test_kd_order_rolled_matches_unrolled_reference():
+    """The fori_loop kd ordering must reproduce the unrolled per-level
+    argsort EXACTLY (the permutation is the hardware-swept witness
+    ordering; any drift silently changes the measured kernel perf
+    characteristics). The reference implementation here is the pre-roll
+    formulation (one Python level loop, per-segment stable argsort)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from flooder_tpu.ops.pallas_flood import kd_order_device
+
+    @functools.partial(jax.jit, static_argnames=("leaf",))
+    def kd_order_unrolled(points, leaf):
+        n, dim = points.shape
+        levels = max(0, (n // leaf - 1).bit_length())
+        order = jnp.arange(n, dtype=jnp.int32)
+        pts = points
+        for lvl in range(levels):
+            nseg = 1 << lvl
+            m = n // nseg
+            seg = pts.reshape(nseg, m, dim)
+            ext = jnp.max(seg, axis=1) - jnp.min(seg, axis=1)
+            ax = jnp.argmax(ext, axis=1)
+            keys = jnp.take_along_axis(
+                seg, ax[:, None, None].astype(jnp.int32), axis=2
+            )[:, :, 0]
+            idx = jnp.argsort(keys, axis=1)
+            pts = jnp.take_along_axis(
+                seg, idx[:, :, None], axis=1
+            ).reshape(n, dim)
+            order = jnp.take_along_axis(
+                order.reshape(nseg, m), idx, axis=1
+            ).reshape(n)
+        return order
+
+    rng = np.random.default_rng(7)
+    for n, leaf, dim in [
+        (512, 512, 3),   # levels == 0 (identity)
+        (4096, 512, 3),
+        (8192, 512, 2),
+        (4096, 512, 5),
+        (2048, 256, 1),
+    ]:
+        pts = jnp.asarray(rng.uniform(0, 5, (n, dim)).astype(np.float32))
+        got = np.asarray(kd_order_device(pts, leaf))
+        want = np.asarray(kd_order_unrolled(pts, leaf))
+        assert (got == want).all(), (n, leaf, dim)
+        # cyclic-padding shape: duplicate rows (ties) must break the same
+        dup = jnp.concatenate([pts[: n // 2], pts[: n // 2]])
+        assert (
+            np.asarray(kd_order_device(dup, leaf))
+            == np.asarray(kd_order_unrolled(dup, leaf))
+        ).all(), (n, leaf, dim, "dup")
+
+
+def test_engine_cache_same_cloud_hit_and_eviction():
+    """Repeat flood_complex calls on the SAME points object must reuse
+    the engine (skipping the witness re-ordering); a different array —
+    even with equal values — must miss; dead referents must be evicted
+    so cached engines don't pin device memory for collected clouds."""
+    from flooder_tpu import core as core_mod
+
+    core_mod._ENGINE_CACHE.clear()
+    X = generate_noisy_torus_points_3d(1200, seed=3)
+    L = generate_landmarks(X, 30, start_idx=0)
+
+    out1 = flood_complex(X, L, points_per_edge=6)
+    assert len(core_mod._ENGINE_CACHE) == 1
+    eng1 = core_mod._ENGINE_CACHE[0][2]
+    out2 = flood_complex(X, L, points_per_edge=6)
+    assert core_mod._ENGINE_CACHE[-1][2] is eng1  # hit, no rebuild
+    assert out1.keys() == out2.keys()
+    for s in out1:
+        assert out1[s] == out2[s]
+
+    # equal values, different object → miss (identity keying)
+    Y = X + 0
+    flood_complex(Y, L, points_per_edge=6)
+    engines = [e[2] for e in core_mod._ENGINE_CACHE]
+    assert len(engines) == 2 and engines[0] is eng1
+
+    # capacity bound + dead-referent eviction
+    del Y
+    Z = generate_noisy_torus_points_3d(1100, seed=4)
+    flood_complex(Z, generate_landmarks(Z, 25, start_idx=0),
+                  points_per_edge=6)
+    assert len(core_mod._ENGINE_CACHE) <= core_mod._ENGINE_CACHE_CAP
+    assert all(e[0]() is not None for e in core_mod._ENGINE_CACHE)
+    core_mod._ENGINE_CACHE.clear()

@@ -14,6 +14,7 @@
 #   bash tools/tpu_session.sh r5sweep     # kd-vs-hilbert decision sweep
 #   bash tools/tpu_session.sh r5scale     # 2M/10M/2Mx10k/40M scale tier
 #   bash tools/tpu_session.sh r5extra     # CLI stats, 1x1 mesh, examples
+#   bash tools/tpu_session.sh r5compile   # gates + instrumented cold/warm diag
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p tpu_runs
@@ -101,6 +102,35 @@ r5scale() {
   echo "== example_03 (40M 2-D figure-eight) =="
   timeout 3600 python examples/example_03_figure_eight_2d.py || true
   probe "ex03-40m"
+}
+
+r5compile() {
+  # Verify + diagnose session for the cold-compile work: driver gates,
+  # then FLOODER_TIMING-instrumented runs at 1M/10M/40M to attribute
+  # cold and warm time per pipeline stage (the r5scale session measured
+  # 317.8 s cold at 40M that the work-volume model prices at ~0.3 s of
+  # kernel; the kd-order fori_loop rewrite + engine cache attack that).
+  probe "session-start" || exit 1
+  echo "== entry compile check (TPU) =="
+  timeout 900 python -c "import jax,__graft_entry__; fn,a=__graft_entry__.entry(); jax.jit(fn)(*a).block_until_ready(); print('ENTRY OK')"
+  probe "entry-check"
+  echo "== dryrun_multichip(8) gate (CPU mesh, no chip) =="
+  timeout 600 python -c "import __graft_entry__; __graft_entry__.dryrun_multichip(8); print('DRYRUN OK')"
+  echo "== 1M x 1k instrumented (cold + warm attribution) =="
+  FLOODER_TIMING=1 FLOODER_BENCH_REPS=2 timeout 2400 python bench.py
+  probe "1m-diag"
+  echo "== 1M x 1k clean headline (engine cache in effect) =="
+  FLOODER_BENCH_REPS=5 timeout 2400 python bench.py
+  probe "1m-clean"
+  echo "== 10M x 1k instrumented (2 reps: warm gap attribution) =="
+  FLOODER_TIMING=1 timeout 3000 python bench.py --points 10000000 --landmarks 1000 --reps 2 --timeout 2400
+  probe "10m-diag"
+  echo "== example_03 40M 2-D instrumented (cold path) =="
+  FLOODER_TIMING=1 timeout 3600 python examples/example_03_figure_eight_2d.py || true
+  probe "ex03-40m-diag"
+  echo "== 2M x 1k clean (north star re-measure) =="
+  timeout 2400 python bench.py --points 2000000 --landmarks 1000 --reps 3 --timeout 1200
+  probe "2m-clean"
 }
 
 r5extra() {
