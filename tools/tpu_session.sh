@@ -133,6 +133,24 @@ r5compile() {
   probe "2m-clean"
 }
 
+r5scale2() {
+  # Scale-tier re-measure at the post-fix tree (kd fori_loop + engine
+  # cache + early D2H): small-first, probes between, instrumented 40M.
+  probe "session-start" || exit 1
+  echo "== 1M x 1k clean headline (5 reps) =="
+  FLOODER_BENCH_REPS=5 timeout 2400 python bench.py
+  probe "1m"
+  echo "== 2M x 1k north star (3 reps) =="
+  timeout 2400 python bench.py --points 2000000 --landmarks 1000 --reps 3 --timeout 1200
+  probe "2m"
+  echo "== 2M x 10k stress (1 rep) =="
+  timeout 3600 python bench.py --points 2000000 --landmarks 10000 --reps 1 --timeout 2000
+  probe "2m10k"
+  echo "== example_03 40M 2-D (instrumented; kd OOM fix validation) =="
+  FLOODER_TIMING=1 timeout 3600 python examples/example_03_figure_eight_2d.py || true
+  probe "ex03-40m"
+}
+
 r5extra() {
   probe "extra-start" || exit 1
   echo "== CLI stats on the healthy chip (regenerates the r04 artifact) =="
