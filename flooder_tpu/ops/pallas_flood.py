@@ -145,6 +145,45 @@ def _hilbert_from_quantized(q_cols, bits: int, where):
     return code
 
 
+# Clouds whose padded witness total is at or below this use the HOST
+# numpy kd ordering instead of the device program: the TPU sort codegen
+# costs ~tens of seconds to minutes of AOT compile per power-of-two size
+# bucket (see kd_order_device's note), which dwarfs everything a small
+# cloud does (example_01's 10k row spent 36 s mostly here,
+# tpu_runs/session_20260819_124556_r5examples.log). At 262k the host
+# path costs ~0.2 s per call with ZERO compile; the device path wins
+# warm (~0.05 s) only after its one-time compile. Both produce the
+# bit-identical permutation (tested).
+KD_HOST_MAX = 262144
+
+
+def kd_order_np(points: np.ndarray, leaf: int) -> np.ndarray:
+    """Host numpy kd ordering — same algorithm, same permutation as
+    ``kd_order_device`` (stable per-segment argsort on each segment's
+    widest axis; float32 comparisons are exact in both runtimes)."""
+    pts = np.asarray(points)
+    n, dim = pts.shape
+    levels = max(0, (n // leaf - 1).bit_length())
+    order = np.arange(n, dtype=np.int32)
+    for lvl in range(levels):
+        nseg = 1 << lvl
+        m = n // nseg
+        seg = pts.reshape(nseg, m, dim)
+        ext = seg.max(axis=1) - seg.min(axis=1)
+        ax = np.argmax(ext, axis=1)
+        keys = np.take_along_axis(
+            seg, ax[:, None, None].astype(np.int32), axis=2
+        )[:, :, 0]
+        idx = np.argsort(keys, axis=1, kind="stable")
+        pts = np.take_along_axis(seg, idx[:, :, None], axis=1).reshape(
+            n, dim
+        )
+        order = np.take_along_axis(
+            order.reshape(nseg, m), idx, axis=1
+        ).reshape(n)
+    return order
+
+
 @functools.partial(jax.jit, static_argnames=("leaf",))
 def kd_order_device(points: jax.Array, leaf: int) -> jax.Array:
     """Balanced k-d ordering on device: median splits on each segment's
@@ -812,7 +851,13 @@ class PallasFloodEngine:
             reps = jnp.tile(points, (-(-total // n), 1))[: total - n]
             pts_padded = jnp.concatenate([points, reps], axis=0)
         with stage("engine-init:kd-order"):
-            order = kd_order_device(pts_padded, leaf=SUB)
+            if total <= KD_HOST_MAX:
+                # small cloud: host ordering, zero device compile
+                order = jnp.asarray(
+                    kd_order_np(np.asarray(pts_padded), leaf=SUB)
+                )
+            else:
+                order = kd_order_device(pts_padded, leaf=SUB)
             fence(order)
         with stage("engine-init:permute+boxes"):
             pts_sorted = pts_padded[order]

@@ -217,7 +217,13 @@ class MeshPallasFloodEngine:
         if total != n:
             reps = jnp.tile(points, (-(-total // n), 1))[: total - n]
             pts_padded = jnp.concatenate([points, reps], axis=0)
-        order = pf.kd_order_device(pts_padded, leaf=pf.SUB)
+        if total <= pf.KD_HOST_MAX:
+            # small cloud: host ordering, zero device compile (same
+            # threshold and identical permutation as single-chip)
+            order = jnp.asarray(pf.kd_order_np(np.asarray(pts_padded),
+                                               leaf=pf.SUB))
+        else:
+            order = pf.kd_order_device(pts_padded, leaf=pf.SUB)
         pts_sorted = pts_padded[order]
         chunks = pts_sorted.reshape(n_ws * n_chunks_l, self.wchunk, dim)
         self.chunk_lo = jnp.min(chunks, axis=1)

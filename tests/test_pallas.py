@@ -164,12 +164,22 @@ def test_kd_order_rolled_matches_unrolled_reference():
         got = np.asarray(kd_order_device(pts, leaf))
         want = np.asarray(kd_order_unrolled(pts, leaf))
         assert (got == want).all(), (n, leaf, dim)
+        # the host fallback (small clouds skip the device compile) must
+        # produce the same permutation again
+        from flooder_tpu.ops.pallas_flood import kd_order_np
+
+        host = kd_order_np(np.asarray(pts), leaf)
+        assert (host == want).all(), (n, leaf, dim, "host")
         # cyclic-padding shape: duplicate rows (ties) must break the same
         dup = jnp.concatenate([pts[: n // 2], pts[: n // 2]])
         assert (
             np.asarray(kd_order_device(dup, leaf))
             == np.asarray(kd_order_unrolled(dup, leaf))
         ).all(), (n, leaf, dim, "dup")
+        assert (
+            kd_order_np(np.asarray(dup), leaf)
+            == np.asarray(kd_order_unrolled(dup, leaf))
+        ).all(), (n, leaf, dim, "host-dup")
 
 
 def test_engine_cache_same_cloud_hit_and_eviction():

@@ -151,6 +151,20 @@ r5scale2() {
   probe "ex03-40m"
 }
 
+r5examples() {
+  # Examples re-run at the post-fix tree with warm compile caches: the
+  # r5extra example numbers were cold (and ex02's first rep shared the
+  # chip with a stray process — see STATUS.md).
+  probe "session-start" || exit 1
+  echo "== example_02 (1M torus, 2k landmarks, 2 reps) =="
+  timeout 1800 python examples/example_02_torus_3d.py --reps 2 || true
+  probe "ex02"
+  echo "== example_01 (Alpha capped at 100k, 1 rep) =="
+  timeout 3600 python examples/example_01_cheese_3d.py --reps 1 \
+    --alpha-max-n 100000 || true
+  probe "ex01"
+}
+
 r5extra() {
   probe "extra-start" || exit 1
   echo "== CLI stats on the healthy chip (regenerates the r04 artifact) =="
