@@ -24,6 +24,7 @@ Differences from the reference worth knowing (behavior-preserving):
 from __future__ import annotations
 
 import itertools
+import threading
 import warnings
 import weakref
 from functools import lru_cache
@@ -68,19 +69,31 @@ def _auto_wchunk(n_points: int) -> int:
 # reuse) plus the engine-selecting arguments. Capacity 2: engines pin the
 # ordered witness copy in device memory, so this must never grow with the
 # number of clouds a process touches.
+#
+# Limitation: callers passing HOST arrays (numpy) never hit — the
+# as_jax_array conversion above creates a fresh device array per call.
+# Pass the same jax array across calls to benefit (bench.py and the
+# examples do); mutable host buffers cannot be identity-cached safely.
 _ENGINE_CACHE: List[tuple] = []
 _ENGINE_CACHE_CAP = 2
+_ENGINE_CACHE_LOCK = threading.Lock()
 
 
 def _cached_engine(points, key, build):
-    for i, (ref, k, eng) in enumerate(_ENGINE_CACHE):
-        if k == key and ref() is points:
-            _ENGINE_CACHE.append(_ENGINE_CACHE.pop(i))
-            return eng
+    with _ENGINE_CACHE_LOCK:
+        for i, (ref, k, eng) in enumerate(_ENGINE_CACHE):
+            if k == key and ref() is points:
+                _ENGINE_CACHE.append(_ENGINE_CACHE.pop(i))
+                return eng
+        # Evict BEFORE building: the outgoing engine's device arrays must
+        # be released before the new engine allocates its witness copy,
+        # or peak device memory transiently holds CAP+1 engines.
+        live = [e for e in _ENGINE_CACHE if e[0]() is not None]
+        _ENGINE_CACHE[:] = live[-(_ENGINE_CACHE_CAP - 1):]
     eng = build()
-    live = [e for e in _ENGINE_CACHE if e[0]() is not None]
-    _ENGINE_CACHE[:] = live[-(_ENGINE_CACHE_CAP - 1):] if _ENGINE_CACHE_CAP > 1 else []
-    _ENGINE_CACHE.append((weakref.ref(points), key, eng))
+    with _ENGINE_CACHE_LOCK:
+        _ENGINE_CACHE.append((weakref.ref(points), key, eng))
+        del _ENGINE_CACHE[:-_ENGINE_CACHE_CAP]
     return eng
 
 

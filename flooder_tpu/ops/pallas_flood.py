@@ -149,12 +149,26 @@ def _hilbert_from_quantized(q_cols, bits: int, where):
 # numpy kd ordering instead of the device program: the TPU sort codegen
 # costs ~tens of seconds to minutes of AOT compile per power-of-two size
 # bucket (see kd_order_device's note), which dwarfs everything a small
-# cloud does (example_01's 10k row spent 36 s mostly here,
-# tpu_runs/session_20260819_124556_r5examples.log). At 262k the host
-# path costs ~0.2 s per call with ZERO compile; the device path wins
-# warm (~0.05 s) only after its one-time compile. Both produce the
-# bit-identical permutation (tested).
+# cloud does (example_01's 10k row spent 36 s mostly here — the pre-fix
+# run in tpu_runs/session_20260819_124546_r5examples.log's predecessor).
+# At 262k the host path costs ~0.2 s per call with ZERO compile; the
+# device path wins warm (~0.05 s) only after its one-time compile. Both
+# produce the bit-identical permutation (tested).
 KD_HOST_MAX = 262144
+
+
+def use_host_kd(total: int, leaf: int) -> bool:
+    """Route a witness ordering to the host numpy implementation.
+
+    Host when the cloud is small (compile cost dwarfs the work — see
+    KD_HOST_MAX) or when the leaf count is not a power of two: the
+    rolled device program's segment arithmetic requires leaf-aligned
+    power-of-two segment boundaries, while the host twin implements the
+    original unrolled recursion and is correct for any leaf count (the
+    mesh engine produces non-power-of-two leaf counts when the witness
+    mesh axis is not a power of two)."""
+    nl = total // leaf
+    return total <= KD_HOST_MAX or (nl & (nl - 1)) != 0
 
 
 def kd_order_np(points: np.ndarray, leaf: int) -> np.ndarray:
@@ -851,7 +865,7 @@ class PallasFloodEngine:
             reps = jnp.tile(points, (-(-total // n), 1))[: total - n]
             pts_padded = jnp.concatenate([points, reps], axis=0)
         with stage("engine-init:kd-order"):
-            if total <= KD_HOST_MAX:
+            if use_host_kd(total, SUB):
                 # small cloud: host ordering, zero device compile
                 order = jnp.asarray(
                     kd_order_np(np.asarray(pts_padded), leaf=SUB)

@@ -217,9 +217,12 @@ class MeshPallasFloodEngine:
         if total != n:
             reps = jnp.tile(points, (-(-total // n), 1))[: total - n]
             pts_padded = jnp.concatenate([points, reps], axis=0)
-        if total <= pf.KD_HOST_MAX:
-            # small cloud: host ordering, zero device compile (same
-            # threshold and identical permutation as single-chip)
+        if pf.use_host_kd(total, pf.SUB):
+            # host ordering: small clouds (zero device compile) and
+            # non-power-of-two leaf counts (a non-pow2 witness mesh
+            # axis), which the rolled device program's segment
+            # arithmetic does not support — the host twin implements
+            # the original unrolled recursion for any leaf count
             order = jnp.asarray(pf.kd_order_np(np.asarray(pts_padded),
                                                leaf=pf.SUB))
         else:

@@ -20,7 +20,9 @@ import sys
 import time
 from contextlib import contextmanager
 
-ENABLED = bool(os.environ.get("FLOODER_TIMING"))
+ENABLED = os.environ.get("FLOODER_TIMING", "").strip().lower() not in (
+    "", "0", "false", "no", "off",
+)
 
 
 def note(msg: str) -> None:

@@ -181,6 +181,23 @@ def test_kd_order_rolled_matches_unrolled_reference():
             == np.asarray(kd_order_unrolled(dup, leaf))
         ).all(), (n, leaf, dim, "host-dup")
 
+    # Non-power-of-two leaf counts (a non-pow2 witness mesh axis yields
+    # nl = 4 * n_ws * n_chunks_l): the rolled device program's segment
+    # arithmetic requires pow2 nl, so the router must send these to the
+    # host twin — which must still match the original unrolled recursion.
+    from flooder_tpu.ops.pallas_flood import KD_HOST_MAX, use_host_kd
+
+    for nl in (3, 6, 12):
+        n, leaf, dim = nl * 512, 512, 3
+        assert use_host_kd(n, leaf)
+        pts = jnp.asarray(rng.uniform(0, 5, (n, dim)).astype(np.float32))
+        assert (
+            kd_order_np(np.asarray(pts), leaf)
+            == np.asarray(kd_order_unrolled(pts, leaf))
+        ).all(), (nl, "host-nonpow2")
+    # large pow2 leaf counts stay on device
+    assert not use_host_kd(2 * KD_HOST_MAX, 512)
+
 
 def test_engine_cache_same_cloud_hit_and_eviction():
     """Repeat flood_complex calls on the SAME points object must reuse
