@@ -75,6 +75,15 @@ def main():
             points, _, _ = generate_swiss_cheese_points(
                 n_pts, rect_min, rect_max, k, void_radius_range
             )
+            # Untimed transfer fence: the first device-to-host sync of a
+            # process can absorb minutes of backend-side wait (see
+            # docs/performance.md "Cold path"); without this the Alpha
+            # row below — whose np.asarray(points) is that first sync —
+            # would be billed for it. Plays the role of the reference's
+            # pre-timing GPU warm-up (ref example_01:78-82).
+            import numpy as _np
+
+            _ = _np.asarray(points[:1])
 
             if args.alpha_max_n is not None and n_pts > args.alpha_max_n:
                 print(

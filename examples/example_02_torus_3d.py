@@ -50,6 +50,11 @@ def main():
     results = []
     for rep in range(reps):
         pts = generate_noisy_torus_points_3d(n_pts)
+        # untimed transfer fence — keeps the backend's first-sync wait
+        # out of the FPS timing (docs/performance.md "Cold path")
+        import numpy as _np
+
+        _ = _np.asarray(pts[:1])
 
         t0_fps = time.perf_counter()
         lms = generate_landmarks(pts, n_lms)

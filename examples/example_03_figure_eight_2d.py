@@ -56,6 +56,9 @@ def main():
     print(f"{YELLOW}---------------------------------------------------{RESET}")
 
     pts = generate_figure_eight_points_2d(n_pts, noise_std=0.02, noise_kind="gaussian")
+    # untimed transfer fence — keeps the backend's first-sync wait out
+    # of the FPS/complex timings (docs/performance.md "Cold path")
+    _ = np.asarray(pts[:1])
 
     t0_fps = time.perf_counter()
     lms = generate_landmarks(pts, n_lms)

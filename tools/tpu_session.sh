@@ -163,6 +163,9 @@ r5examples() {
   timeout 3600 python examples/example_01_cheese_3d.py --reps 1 \
     --alpha-max-n 100000 || true
   probe "ex01"
+  echo "== example_03 (40M 2-D) =="
+  timeout 3600 python examples/example_03_figure_eight_2d.py || true
+  probe "ex03"
 }
 
 r5extra() {
