@@ -32,6 +32,7 @@ precomputed **active-pair work-list** (SURVEY §7 idiom 1):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -673,6 +674,34 @@ def _sample_morton_order(weights_np: np.ndarray) -> np.ndarray:
     return np.argsort(code, kind="stable").astype(np.int32)
 
 
+# A/B knob for the hardware sweep of the packed admission fetch
+# ("u8" per-block-quantized / "f16" globally-normalized / "f32" legacy
+# pair); the losers are deleted once the sweep decides. The admission
+# matrix is fetched device→host on the hot path of every call, and the
+# tunnel D2H runs at ~16-35 MB/s past a ~24 ms latency floor
+# (tools/tunnel_rtt_probe.py; 10M×1k prep stage = 1.22 s for the 42 MB
+# legacy fetch, session …_093420_r5compile.log) — bytes/entry is the
+# whole stage.
+PACK_ADMISSION = os.environ.get("FLOODER_ADMISSION", "u8").strip().lower()
+if PACK_ADMISSION not in ("u8", "f16", "f32"):
+    PACK_ADMISSION = "u8"
+
+
+def unpack_admission(adm_host):
+    """Host-side admission unpack: (active bool, nearest-first sort key).
+
+    ``adm_host`` is the packed uint8 matrix (255 = inactive, 0..254 =
+    per-block distance rank), the packed float16 matrix (``inf`` =
+    inactive, finite = normalized squared block→chunk distance), or the
+    legacy (bool, float32) pair — see ``_prep(pack=...)``.
+    """
+    if isinstance(adm_host, tuple):
+        return adm_host
+    if adm_host.dtype == np.uint8:
+        return adm_host != 255, adm_host
+    return np.isfinite(adm_host), adm_host
+
+
 def select_pad_pair(active: np.ndarray, dist: np.ndarray | None = None):
     """Pick a (block, chunk) pair for padding a work-list segment.
 
@@ -688,9 +717,13 @@ def select_pad_pair(active: np.ndarray, dist: np.ndarray | None = None):
 
     Args:
         active: (n_blocks, n_chunks) bool admission matrix.
-        dist: optional (n_blocks, n_chunks) block-to-chunk distances;
-            when given, the farthest chunk of the pad block is chosen
-            (its admission check fails fastest).
+        dist: optional (n_blocks, n_chunks) block-to-chunk distance
+            keys; when given, the farthest chunk of the pad block is
+            chosen (its admission check fails fastest). With a packed
+            admission the pad block's row is all-inactive (inf/255), so
+            argmax degenerates to chunk 0 — harmless: the pad block's
+            balls have radius 0, so the in-kernel ball test rejects
+            every chunk equally fast.
     """
     rows = np.nonzero(~active.any(axis=1))[0]
     if not len(rows):
@@ -767,7 +800,7 @@ def spatial_order_np(centers, bits: int) -> np.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bs", "nr", "rt", "tight", "wchunk")
+    jax.jit, static_argnames=("bs", "nr", "rt", "tight", "wchunk", "pack")
 )
 def _prep(
     verts_local,  # (S, k, dim) ball-local vertex coordinates
@@ -782,13 +815,27 @@ def _prep(
     rt: int,
     tight: bool,
     wchunk: int,
+    pack: str = "u8",
 ):
     """One fused dispatch for all kernel-operand preparation.
 
     Produces the sample tiles, per-tile bounding boxes, static upper
-    bounds, and the active-pair matrix in a single XLA program (the
+    bounds, and the active-pair admission in a single XLA program (the
     round-1 version dispatched ~a dozen eager ops here, ~0.2-0.4 s of
     non-kernel tail at 1M points).
+
+    ``pack`` selects the admission encoding fetched to host every call
+    (the tunnel D2H is bandwidth-bound past a ~24 ms floor, see
+    tools/tunnel_rtt_probe.py, so bytes/entry is the whole cost):
+    ``"u8"`` — ONE uint8 matrix, 255 = inactive, 0..254 = the chunk's
+    distance quantized over its block's own active range (1 byte/entry,
+    5× smaller than legacy; 42 MB → 8.4 MB at 10M×1k); ``"f16"`` — ONE
+    float16 matrix of ``dist2 / bbox_diag2`` (inf = inactive; values are
+    in [0, 1] because block centers lie in the landmark hull ⊆ the
+    witness bbox, so f16 cannot overflow); ``"f32"`` — the legacy
+    (bool, float32) pair. Hosts recover ``active`` and the nearest-first
+    visit ORDER via ``unpack_admission``; quantization merely creates
+    harmless ordering ties.
     """
     s_total, k, dim = verts_local.shape
     samples_flat = jnp.einsum(
@@ -819,7 +866,28 @@ def _prep(
         centers, radii, samp_lo_g, samp_hi_g, ub2max,
         chunk_lo, chunk_hi, wchunk, bs,
     )
-    return samples, tile_lo, tile_hi, ub2, active, pairdist
+    if pack == "f16":
+        ext = jnp.max(chunk_hi, axis=0) - jnp.min(chunk_lo, axis=0)
+        scale2 = jnp.sum(ext * ext) + 1e-30
+        adm = jnp.where(active, pairdist / scale2, jnp.inf)
+        return samples, tile_lo, tile_hi, ub2, adm.astype(jnp.float16)
+    if pack == "u8":
+        # Per-block normalization: quantize each block's ACTIVE chunk
+        # distances over that block's own [min, max] range to 0..254
+        # (255 = inactive). The host uses these values only as the
+        # nearest-first visit ORDER within a block, so 254 levels of the
+        # block's own range beat a global quantization by orders of
+        # magnitude in fidelity (a block's active chunks span a tiny
+        # slice of the cloud-wide distance range).
+        d2a = jnp.where(active, pairdist, jnp.inf)
+        rmin = jnp.min(d2a, axis=1, keepdims=True)
+        rmax = jnp.max(jnp.where(active, pairdist, -jnp.inf),
+                       axis=1, keepdims=True)
+        q = (d2a - rmin) / jnp.maximum(rmax - rmin, 1e-30) * 254.0
+        q = jnp.nan_to_num(q, nan=255.0, posinf=255.0)
+        adm = jnp.where(active, jnp.clip(q, 0.0, 254.0), 255.0)
+        return samples, tile_lo, tile_hi, ub2, adm.astype(jnp.uint8)
+    return samples, tile_lo, tile_hi, ub2, (active, pairdist)
 
 
 class PallasFloodEngine:
@@ -970,12 +1038,13 @@ class PallasFloodEngine:
         # witnesses — provably lossless skipping), and the active-pair
         # matrix — in ONE fused dispatch, then a single host transfer.
         with stage("prep:fused-dispatch"):
-            samples, tile_lo, tile_hi, ub2, active_dev, pairdist_dev = _prep(
+            samples, tile_lo, tile_hi, ub2, adm_dev = _prep(
                 verts_local, weights_p, centers, radii,
                 self.chunk_lo, self.chunk_hi,
                 bs=BS, nr=nr, rt=rt, tight=tight, wchunk=self.wchunk,
+                pack=PACK_ADMISSION,
             )
-            active, pairdist = jax.device_get((active_dev, pairdist_dev))
+            active, pairdist = unpack_admission(jax.device_get(adm_dev))
             fence(samples, tile_lo, tile_hi, ub2)
         with stage("prep:worklist-host"):
             pair_s_np, pair_c_np = np.nonzero(active)  # row-major: by s

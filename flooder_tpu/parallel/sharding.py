@@ -282,8 +282,9 @@ class MeshPallasFloodEngine:
     def _run_kernel(self, verts, weights, centers, radii, tight):
         from ..ops import pallas_flood as pf
         from ..ops.pallas_flood import (
-            BS, _flood_pairs_call, _pad_simplices, _prep,
+            BS, PACK_ADMISSION, _flood_pairs_call, _pad_simplices, _prep,
             _prepare_sample_weights, _tile_geometry, _x32_mode,
+            unpack_admission,
         )
 
         mesh = self.mesh
@@ -303,12 +304,13 @@ class MeshPallasFloodEngine:
         weights_p, sperm = _prepare_sample_weights(weights, r2_total)
         verts_local = verts - centers[:, None, :]
 
-        samples, tile_lo, tile_hi, ub2, active_dev, pairdist_dev = _prep(
+        samples, tile_lo, tile_hi, ub2, adm_dev = _prep(
             verts_local, weights_p, centers, radii,
             self.chunk_lo, self.chunk_hi,
             bs=BS, nr=nr, rt=rt, tight=tight, wchunk=self.wchunk,
+            pack=PACK_ADMISSION,
         )
-        active, pairdist = jax.device_get((active_dev, pairdist_dev))
+        active, pairdist = unpack_admission(jax.device_get(adm_dev))
 
         # Balance witness-chunk load across the witness shards before
         # slicing (see balance_chunk_assignment): permute the active/

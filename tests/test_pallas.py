@@ -115,6 +115,65 @@ def test_select_pad_pair_reseed_safety():
     assert select_pad_pair(active) == (2, 0)
 
 
+def test_packed_admission_encodings_agree():
+    """The u8/f16 packed admission encodings must recover the EXACT
+    active set of the legacy (bool, f32) pair and preserve each block's
+    nearest-first chunk order up to their quantization step (the packed
+    values feed only the visit ORDER, never the distances themselves)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flooder_tpu.ops import pallas_flood as pf
+
+    rng = np.random.default_rng(7)
+    X = (rng.random((16384, 3)) * 5).astype(np.float32)
+    eng = pf.PallasFloodEngine(jnp.asarray(X), pf.WCHUNK)
+
+    S = pf.BS * 8
+    centers = (rng.random((S, 3)) * 5).astype(np.float32)
+    radii = (rng.random(S) * 1.5 + 0.1).astype(np.float32)
+    k = 4
+    verts = (
+        centers[:, None, :]
+        + (rng.random((S, k, 3)).astype(np.float32) - 0.5) * 0.3
+    )
+    w = rng.random((40, k)).astype(np.float32)
+    w /= w.sum(axis=1, keepdims=True)
+    rt, nr, r2_total = pf._tile_geometry(len(w))
+    weights_p, _ = pf._prepare_sample_weights(w, r2_total)
+    args = (
+        jnp.asarray(verts - centers[:, None, :]), weights_p,
+        jnp.asarray(centers), jnp.asarray(radii),
+        eng.chunk_lo, eng.chunk_hi,
+    )
+    out = {}
+    for mode in ("f32", "f16", "u8"):
+        *_, adm = pf._prep(
+            *args, bs=pf.BS, nr=nr, rt=rt, tight=False,
+            wchunk=eng.wchunk, pack=mode,
+        )
+        out[mode] = pf.unpack_admission(jax.device_get(adm))
+
+    active, d2 = out["f32"]
+    assert active.any() and not active.all()
+    for mode in ("f16", "u8"):
+        a_m, key_m = out[mode]
+        np.testing.assert_array_equal(a_m, active)
+        for b in range(active.shape[0]):
+            idx = np.nonzero(active[b])[0]
+            if len(idx) < 2:
+                continue
+            order = idx[np.argsort(key_m[b, idx], kind="stable")]
+            true = d2[b, order]
+            if mode == "u8":
+                step = (true.max() - true.min()) / 254.0
+            else:  # f16: relative rounding of the normalized value
+                step = 2e-3 * max(true.max(), 1e-30)
+            # sorted-by-packed-key must be non-decreasing in true
+            # distance up to one quantization step
+            assert np.all(np.diff(true) >= -step * 1.01), (mode, b)
+
+
 def test_kd_order_rolled_matches_unrolled_reference():
     """The fori_loop kd ordering must reproduce the unrolled per-level
     argsort EXACTLY (the permutation is the hardware-swept witness

@@ -116,14 +116,16 @@ def build_scene(
     )
     weights_p, sperm = pf._prepare_sample_weights(weights, r2_total)
     verts_local = verts_p - centers_p[:, None, :]
-    samples, tile_lo, tile_hi, ub2, active_d, pairdist_d = pf._prep(
+    samples, tile_lo, tile_hi, ub2, adm_d = pf._prep(
         verts_local, weights_p, centers_p, radii_p,
         engine.chunk_lo, engine.chunk_hi,
         bs=pf.BS, nr=nr, rt=rt, tight=True, wchunk=engine.wchunk,
+        pack=pf.PACK_ADMISSION,
     )
 
     # host-side views the admission models index
-    active = np.asarray(jax.device_get(active_d))
+    active, _ = pf.unpack_admission(jax.device_get(adm_d))
+    active = np.asarray(active)
     cen = np.asarray(centers_p)
     rad = np.asarray(radii_p)
     t_lo = np.asarray(tile_lo)

@@ -168,6 +168,53 @@ r5examples() {
   probe "ex03"
 }
 
+r5pack() {
+  # Packed-admission decision sweep: the admission matrix's D2H is
+  # bandwidth-bound (tools/tunnel_rtt_probe.py: ~22 MB/s + 24 ms floor),
+  # so u8 (1 B/entry) and f16 (2 B/entry) should beat the legacy
+  # bool+f32 pair (5 B/entry). Head-to-head in ONE session, 5 reps each,
+  # sha-stamped rows; adopt-the-winner rule applies.
+  SWEEP=tpu_runs/sweep_r05.jsonl
+  probe "pack-start" || exit 1
+  for v in "FLOODER_ADMISSION=f32" "FLOODER_ADMISSION=f16" "FLOODER_ADMISSION=u8"; do
+    echo "== bench sweep: [$v] =="
+    out=$(env $v FLOODER_BENCH_REPS=5 timeout 2400 python bench.py)
+    echo "$out"
+    OUT="$out" V="$v" SHA="$(git rev-parse --short HEAD)" python - >> "$SWEEP" <<'PYEOF'
+import json, os, sys
+for l in os.environ.get("OUT", "").strip().splitlines():
+    try:
+        j = json.loads(l)
+    except Exception:
+        continue
+    j["env"] = os.environ.get("V", "")
+    j["sha"] = os.environ.get("SHA", "")
+    print(json.dumps(j))
+    break
+else:
+    print(f"WARNING: no JSON line from combo [{os.environ.get('V','')}]",
+          file=sys.stderr)
+PYEOF
+    probe "pack-combo[$v]"
+  done
+  echo "== 10M x 1k instrumented under the default (prep-stage check) =="
+  FLOODER_TIMING=1 timeout 3000 python bench.py --points 10000000 --landmarks 1000 --reps 1 --timeout 1500
+  probe "10m-pack"
+}
+
+r5rtt() {
+  # Decompose the prep-stage 0.24 s: tunnel D2H latency-vs-bandwidth
+  # profile, then a timing-instrumented headline rep at HEAD for the
+  # stage split the optimization targets.
+  probe "rtt-start" || exit 1
+  echo "== tunnel D2H profile =="
+  timeout 900 python tools/tunnel_rtt_probe.py
+  probe "rtt-probe"
+  echo "== 1M x 1k instrumented (1 rep, stage split at HEAD) =="
+  FLOODER_TIMING=1 FLOODER_BENCH_REPS=1 timeout 2400 python bench.py
+  probe "1m-diag"
+}
+
 r5extra() {
   probe "extra-start" || exit 1
   echo "== CLI stats on the healthy chip (regenerates the r04 artifact) =="
